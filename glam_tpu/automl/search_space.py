@@ -1,0 +1,89 @@
+"""AutoML search space — parity with reference glam.py:54-100.
+
+Samples random architecture+hyperparameter configurations from the same
+space (values and duplication-based weights identical to the reference
+lists; the duplicated entries implement the reference's sampling bias).
+Config ids are the last-5-hex md5 of the flattened config (reference
+utils.py:249-250 ``md5``)."""
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Dict, List, Optional, Tuple
+
+from ..data.datasets import DATASET_NAMES
+
+MOL_BLOCKS = ["_TripletMessage", "_NNConv", "_TripletMessageLight",
+              "_GCNConv", "_GATConv"]
+READOUTS = ["Set2Set", "GlobalPool5", "GlobalLAPool"]
+
+
+def config_id(config: Dict) -> str:
+    s = " ".join(k + " " + str(v) for k, v in config.items())
+    return hashlib.md5(s.encode()).hexdigest()[-5:]
+
+
+def sample_config(dataset: str, dataset_root: str, seed: int = 1234,
+                  split_seed: int = 1234,
+                  rng: Optional[random.Random] = None
+                  ) -> Tuple[Dict, str]:
+    r = rng or random
+    config = {
+        "dataset": dataset,
+        "dataset_root": dataset_root,
+        "seed": seed,
+        "split_seed": split_seed,
+        "hid_dim_alpha": r.choice([1, 2, 3, 4, 6]),
+        "e_dim": r.choice([256, 512, 1024, 2048]),
+
+        "mol_block": r.choice(MOL_BLOCKS),
+        "message_steps": r.choice([1, 2, 3, 6]),
+        "mol_readout": r.choice(READOUTS),
+
+        "pre_do": r.choice(["_None()", "_None()", "Dropout(0.1)"]),
+        "graph_do": r.choice(["_None()", "_None()", "Dropout(0.1)"]),
+        "flat_do": r.choice(["_None()", "Dropout(0.1)", "Dropout(0.2)",
+                             "Dropout(0.5)"]),
+        "end_do": r.choice(["_None()", "Dropout(0.1)", "Dropout(0.2)",
+                            "Dropout(0.5)"]),
+
+        "pre_norm": r.choice(["_None", "_BatchNorm", "_LayerNorm"]),
+        "graph_norm": r.choice(["_None", "_None", "_None", "_BatchNorm",
+                                "_LayerNorm", "_PairNorm"]),
+        "flat_norm": r.choice(["_None", "_None", "_None", "_BatchNorm",
+                               "_LayerNorm"]),
+        "end_norm": r.choice(["_None", "_None", "_None", "_BatchNorm",
+                              "_LayerNorm"]),
+
+        "pre_act": r.choice(["_None", "ReLU", "LeakyReLU", "RReLU",
+                             "RReLU", "RReLU"]),
+        "graph_act": r.choice(["_None", "ReLU", "LeakyReLU", "RReLU",
+                               "RReLU", "RReLU", "CELU"]),
+        "flat_act": r.choice(["_None", "ReLU", "LeakyReLU", "RReLU",
+                              "RReLU", "RReLU", "CELU"]),
+        "graph_res": r.choice([1, 0]),
+
+        "loss": "bcel",
+        "batch_size": r.choice([4, 8, 12, 16, 32, 64, 128, 256, 512, 768]),
+        "optim": r.choice(["Adam", "Ranger"]),
+        "k": r.choice([1, 3, 6]),
+        "epochs": 30,
+        "lr": r.choice([0.01, 0.005, 0.001, 0.0005, 0.0001]),
+        "early_stop_patience": 50,
+    }
+    if config["optim"] != "Ranger":
+        del config["k"]
+    if dataset in DATASET_NAMES["c"]:
+        config["loss"] = r.choice(["bcel"])
+    elif dataset in DATASET_NAMES["r"]:
+        config["loss"] = r.choice(["mse", "mse", "mse", "mae", "huber"])
+    return config, config_id(config)
+
+
+def config2cmd(config: Dict) -> List[str]:
+    """Config dict -> argv list for the run CLI (reference logger.py:35-40
+    built a shell string; we return an argv list, no shell quoting)."""
+    argv = ["-m", "glam_tpu.run"]
+    for k, v in config.items():
+        argv += [f"--{k}", str(v)]
+    return argv

@@ -1,0 +1,147 @@
+"""AutoML solver: random search + low/high-fidelity scheduling + blending.
+
+Parity with reference glam.py GLAM + trainer.py GLAMHelper, redesigned
+for TPU topology:
+  * trials run as subprocesses of the run CLI (one trial per device
+    group), scheduled by :class:`glam_tpu.automl.scheduler.DeviceManager`
+    instead of the nvidia-smi polling GPUManager (utils.py:190-246);
+  * results are read from the per-run log files (the reference's
+    filesystem IPC contract, kept deliberately so crashed trials are
+    tolerated by omission);
+  * ``auto_blend`` = high-fidelity reruns of the top configs, then
+    mean-score / mean-pred ensembling over the top checkpoints
+    (trainer.py:349-437).
+"""
+from __future__ import annotations
+
+import ast
+import random
+import subprocess
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from ..data.datasets import DATASET_NAMES
+from .scheduler import DeviceManager
+from .search_space import config2cmd, config_id, sample_config
+from .summary import auto_summarize_logs, read_logs, select_top_runs
+
+
+class GLAM:
+    """Random-search solver (reference glam.py:13-120)."""
+
+    SEEDS = [12, 123, 1234, 16, 32, 50, 64, 100, 128, 200]
+
+    def __init__(self, dataset: str, dataset_root: str,
+                 n_init_configs: int = 200, n_low_fidelity_seed: int = 3,
+                 n_top_blend: int = 3, n_high_fidelity_seed: int = 5,
+                 seed: int = 1234, split_seed: int = 1234,
+                 work_dir: str = ".", env: Optional[Dict] = None):
+        self.dataset = dataset
+        self.dataset_root = dataset_root
+        self.n_init_configs = n_init_configs
+        self.n_low_fidelity_seed = n_low_fidelity_seed
+        self.n_top_blend = n_top_blend
+        self.n_high_fidelity_seed = n_high_fidelity_seed
+        self.seed = seed
+        self.split_seed = split_seed
+        self.work_dir = Path(work_dir)
+        self.env = env
+        self.dm = DeviceManager()
+        self.rng = random.Random(seed)
+        self.start = time.time()
+        self.logs_dir = self.work_dir / f"log_{dataset}"
+        self.logs_dir.mkdir(parents=True, exist_ok=True)
+        self.searched: List[str] = []
+        self.log(f"Solver for {dataset} start @ {time.asctime()}")
+        self.log(f"{self.dm.num_slots} trial slots available")
+
+    # ------------------------------------------------------------------
+    def _launch(self, config: Dict) -> subprocess.Popen:
+        argv = [sys.executable] + config2cmd(config) + [
+            "--work_dir", str(self.work_dir)]
+        return subprocess.Popen(argv, env=self.env)
+
+    def low_fidelity_training(self):
+        procs = []
+        for i in range(self.n_init_configs):
+            config, cid = sample_config(self.dataset, self.dataset_root,
+                                        self.seed, self.split_seed, self.rng)
+            while cid in self.searched:
+                config, cid = sample_config(self.dataset, self.dataset_root,
+                                            self.seed, self.split_seed,
+                                            self.rng)
+            self.searched.append(cid)
+            config["note"] = cid
+            self.log(f"Configuration {i}: id={cid} config={config}")
+            for j in range(self.n_low_fidelity_seed):
+                config["seed"] = self.SEEDS[j]
+                self.dm.wait_free_slot(procs)
+                procs.append(self._launch(dict(config)))
+        for p in procs:
+            p.wait()
+        self.log("Search complete !", with_time=True)
+
+    def high_fidelity_training(self, top_n: Optional[int] = None,
+                               n_seed: Optional[int] = None):
+        top_n = top_n or self.n_top_blend
+        n_seed = n_seed or self.n_high_fidelity_seed
+        self.log("Run configurations for more epochs...")
+        summary = auto_summarize_logs(self.dataset, self.work_dir)
+        if summary.empty:
+            self.log("No finished runs found; nothing to refine")
+            return
+        seeds = [1, 12, 123, 1234, 2, 4, 6, 8]
+        procs = []
+        for i in range(min(top_n, len(summary))):
+            config = ast.literal_eval(summary.iloc[i]["config"])
+            config["epochs"] = 2000
+            config["note"] = "more_epochs_run"
+            self.log(f"Configuration {i + 1}: {config}")
+            for seed in seeds[:n_seed]:
+                config["seed"] = seed
+                self.dm.wait_free_slot(procs)
+                procs.append(self._launch(dict(config)))
+        for p in procs:
+            p.wait()
+        self.log("Run Complete!", with_time=True)
+
+    # ------------------------------------------------------------------
+    def blend_and_inference(self, custom_test=None):
+        from .ensemble import blend_and_inference
+        sel = select_top_runs(self.logs_dir, self.dataset, self.n_top_blend)
+        if sel.empty:
+            self.log("No checkpoints to blend")
+            return None
+        self.log(f"{len(sel)} checkpoints selected "
+                 f"(details: {self.logs_dir}/inf_ckpt_selected.csv)")
+        result = blend_and_inference(
+            ids=list(sel["id"]), configs=list(sel["config"]),
+            work_dir=self.work_dir, custom_test=custom_test, log=self.log)
+        self.log(f"blend results: {result}")
+        return result
+
+    def auto_blend(self):
+        self.log("Run more epochs estimation...")
+        self.high_fidelity_training()
+        self.log("Run solution for original test set...")
+        result = self.blend_and_inference()
+        if self.dataset in ["physprop_perturb"]:
+            self.pasp()
+        return result
+
+    def pasp(self):
+        from .ensemble import pasp_ensemble
+        pasp_ensemble(self, log=self.log)
+
+    # ------------------------------------------------------------------
+    def log(self, msg=None, with_time=False):
+        msg = str(msg)
+        if with_time:
+            el = time.time() - self.start
+            msg += " time elapsed {:.2f} hrs ({:.1f} mins)".format(
+                el / 3600.0, el / 60.0)
+        with open(self.logs_dir / "solver_log.txt", "a+") as f:
+            f.write(msg + "\n")
+        print(msg)

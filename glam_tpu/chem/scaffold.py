@@ -1,0 +1,154 @@
+"""Bemis-Murcko scaffold extraction and scaffold-based splitting.
+
+Replaces the reference's RDKit ``MurckoScaffold.MurckoScaffoldSmiles``
+(/root/reference/src_1gp/utils.py:119-133) with a first-principles
+implementation:
+
+  * scaffold = ring systems + linkers: iteratively delete terminal
+    (degree-1) atoms connected by a single bond; atoms double/triple-bonded
+    to the remaining framework are kept (matching RDKit's Murcko behavior
+    of retaining exocyclic multiple bonds);
+  * scaffold *identity* is a canonical graph invariant (Weisfeiler-Lehman
+    refinement hash over element/aromatic/charge labels and bond orders)
+    rather than a canonical SMILES string — equally deterministic, and
+    sufficient for grouping molecules into scaffold classes for splits.
+"""
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .smiles import Mol, SmilesError, parse_smiles
+
+
+def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
+    """Return (kept atom indices, bonds as (a, b, order)) of the scaffold.
+
+    A molecule with no rings yields an empty scaffold (RDKit parity:
+    MurckoScaffoldSmiles returns '' for acyclic molecules)."""
+    n = mol.num_atoms()
+    alive = [True] * n
+    deg = [0] * n
+    order_of = {}
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for b in mol.bonds:
+        adj[b.a].append((b.b, b.order))
+        adj[b.b].append((b.a, b.order))
+        deg[b.a] += 1
+        deg[b.b] += 1
+        order_of[(min(b.a, b.b), max(b.a, b.b))] = b.order
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if not alive[i] or deg[i] != 1:
+                continue
+            # find the single live neighbor and the connecting bond order
+            for (j, o) in adj[i]:
+                if alive[j]:
+                    if o == 1:  # only plain single bonds are prunable
+                        alive[i] = False
+                        deg[j] -= 1
+                        deg[i] = 0
+                        changed = True
+                    break
+    # drop isolated leftover atoms (acyclic molecules collapse to nothing)
+    for i in range(n):
+        if alive[i] and deg[i] == 0:
+            alive[i] = False
+    kept = [i for i in range(n) if alive[i]]
+    kept_set = set(kept)
+    bonds = [(b.a, b.b, b.order) for b in mol.bonds
+             if b.a in kept_set and b.b in kept_set]
+    return kept, bonds
+
+
+def _wl_hash(labels: Dict[int, str],
+             edges: List[Tuple[int, int, int]], rounds: int = 4) -> str:
+    """Weisfeiler-Lehman graph hash (canonical scaffold identity)."""
+    adj = defaultdict(list)
+    for (a, b, o) in edges:
+        adj[a].append((b, o))
+        adj[b].append((a, o))
+    cur = dict(labels)
+    for _ in range(rounds):
+        nxt = {}
+        for v, lab in cur.items():
+            neigh = sorted(f"{o}:{cur[w]}" for (w, o) in adj[v])
+            nxt[v] = hashlib.md5(
+                (lab + "|" + ";".join(neigh)).encode()).hexdigest()[:16]
+        cur = nxt
+    multiset = ",".join(sorted(cur.values()))
+    return hashlib.md5(multiset.encode()).hexdigest()
+
+
+def scaffold_key(smiles: str) -> str:
+    """Deterministic scaffold-class key of a molecule ('' if acyclic)."""
+    try:
+        mol = parse_smiles(smiles)
+    except SmilesError:
+        return ""
+    kept, bonds = murcko_scaffold(mol)
+    if not kept:
+        return ""
+    labels = {
+        i: f"{mol.atoms[i].symbol}{int(mol.atoms[i].aromatic)}"
+        f"{mol.atoms[i].charge}" for i in kept}
+    return _wl_hash(labels, bonds)
+
+
+def random_scaffold_split(
+    smiles_list: Sequence[str],
+    seed: int = 1234,
+    frac_train: float = 0.8,
+    frac_valid: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Scaffold split with randomized group order.
+
+    Mirrors the reference's ``random_scaffold_split``
+    (/root/reference/src_1gp/utils.py:137-184): group molecules by
+    scaffold, shuffle the groups, then greedily fill validation and test
+    up to their quotas, everything else to train.  Uses a seeded RNG (the
+    reference's src_1gp copy accidentally ignores its seed — SURVEY.md
+    marks that a bug not to replicate; the DDI copy seeds correctly).
+    """
+    n = len(smiles_list)
+    groups: Dict[str, List[int]] = defaultdict(list)
+    for i, smi in enumerate(smiles_list):
+        groups[scaffold_key(smi)].append(i)
+    group_list = list(groups.values())
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(group_list))
+    n_total_valid = int(np.floor(frac_valid * n))
+    n_total_test = int(np.floor((1.0 - frac_train - frac_valid) * n))
+    train_idx: List[int] = []
+    valid_idx: List[int] = []
+    test_idx: List[int] = []
+    for gi in perm:
+        group = group_list[gi]
+        if len(valid_idx) + len(group) <= n_total_valid:
+            valid_idx.extend(group)
+        elif len(test_idx) + len(group) <= n_total_test:
+            test_idx.extend(group)
+        else:
+            train_idx.extend(group)
+    return (np.asarray(train_idx, np.int64), np.asarray(valid_idx, np.int64),
+            np.asarray(test_idx, np.int64))
+
+
+def random_split(
+    n: int,
+    seed: int = 1234,
+    frac_train: float = 0.8,
+    frac_valid: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random 80/10/10 split (reference dataset.py:166-174)."""
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_train = int(frac_train * n)
+    n_valid = int(frac_valid * n)
+    return (perm[:n_train], perm[n_train:n_train + n_valid],
+            perm[n_train + n_valid:])

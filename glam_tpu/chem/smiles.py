@@ -1,0 +1,423 @@
+"""A self-contained SMILES parser producing molecular graphs.
+
+The reference delegates all chemistry to RDKit's C++ toolkit
+(/root/reference/src_1gp/dataset.py:14-24).  RDKit is not available in this
+environment, so this module implements the subset of chemistry the
+framework needs from first principles:
+
+  * full SMILES grammar: organic subset + bracket atoms, charges, isotopes,
+    explicit H counts, ring closures (incl. %nn), branches, all bond
+    symbols, dot-disconnections, chirality tokens (parsed, ignored),
+    directional bonds (parsed as single),
+  * implicit hydrogen counting via standard valences,
+  * aromatic ring perception for Kekulé-written rings (Hückel 4n+2 over
+    candidate rings) so `C1=CC=CC=C1` and `c1ccccc1` featurize identically,
+  * hybridization assignment (SP/SP2/SP3) from steric number,
+    matching RDKit's assignments on common organic molecules.
+
+The output :class:`Mol` is a plain python graph; featurization to arrays
+lives in :mod:`glam_tpu.chem.featurize`.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+# Bond orders: aromatic bonds count 1.5 toward valence.
+SINGLE, DOUBLE, TRIPLE, AROMATIC = 1, 2, 3, 4
+_BOND_ORDER = {SINGLE: 1.0, DOUBLE: 2.0, TRIPLE: 3.0, AROMATIC: 1.5}
+
+# Default valences (smallest first) for implicit-H computation, Daylight model.
+_VALENCES = {
+    "B": (3,), "C": (4,), "N": (3,), "O": (2,), "P": (3, 5),
+    "S": (2, 4, 6), "F": (1,), "Cl": (1,), "Br": (1,), "I": (1,),
+    "H": (1,),
+}
+
+_ATOMIC_NUM = {
+    "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
+    "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Ar": 18, "K": 19, "Ca": 20, "Cr": 24, "Mn": 25,
+    "Fe": 26, "Co": 27, "Ni": 28, "Cu": 29, "Zn": 30, "Ga": 31, "Ge": 32,
+    "As": 33, "Se": 34, "Br": 35, "Kr": 36, "Rb": 37, "Sr": 38, "Mo": 42,
+    "Ru": 44, "Rh": 45, "Pd": 46, "Ag": 47, "Cd": 48, "In": 49, "Sn": 50,
+    "Sb": 51, "Te": 52, "I": 53, "Xe": 54, "Cs": 55, "Ba": 56, "Pt": 78,
+    "Au": 79, "Hg": 80, "Tl": 81, "Pb": 82, "Bi": 83,
+}
+
+# Valence electrons by main group (for lone-pair / hybridization estimate).
+_VALENCE_ELECTRONS = {
+    "H": 1, "B": 3, "C": 4, "Si": 4, "N": 5, "P": 5, "As": 5,
+    "O": 6, "S": 6, "Se": 6, "Te": 6, "F": 7, "Cl": 7, "Br": 7, "I": 7,
+}
+
+SP, SP2, SP3, OTHER_HYB = 1, 2, 3, 0
+
+
+@dataclass
+class Atom:
+    symbol: str                 # element symbol, e.g. 'Cl'
+    aromatic: bool = False
+    charge: int = 0
+    explicit_h: Optional[int] = None   # from bracket; None => implicit
+    isotope: int = 0
+    in_bracket: bool = False
+    bonds: List[int] = field(default_factory=list)   # bond indices
+    # filled by finalize():
+    num_h: int = 0
+    hybridization: int = OTHER_HYB
+    in_ring: bool = False
+
+    @property
+    def atomic_num(self) -> int:
+        return _ATOMIC_NUM.get(self.symbol, 0)
+
+
+@dataclass
+class Bond:
+    a: int
+    b: int
+    order: int  # SINGLE/DOUBLE/TRIPLE/AROMATIC
+
+    def other(self, i: int) -> int:
+        return self.b if i == self.a else self.a
+
+
+@dataclass
+class Mol:
+    atoms: List[Atom] = field(default_factory=list)
+    bonds: List[Bond] = field(default_factory=list)
+
+    def num_atoms(self) -> int:
+        return len(self.atoms)
+
+    def neighbors(self, i: int) -> List[int]:
+        return [self.bonds[bi].other(i) for bi in self.atoms[i].bonds]
+
+
+class SmilesError(ValueError):
+    pass
+
+
+_BRACKET_RE = re.compile(
+    r"^(?P<iso>\d+)?(?P<sym>[A-Z][a-z]?|[a-z]{1,2}|\*)"
+    r"(?P<chiral>@{1,2}(?:TH\d|AL\d|SP\d|TB\d+|OH\d+)?)?"
+    r"(?P<hcount>H\d*)?"
+    r"(?P<charge>\+{1,3}|-{1,3}|\+\d+|-\d+)?"
+    r"(?::(?P<map>\d+))?$")
+
+_TWO_LETTER = {"Cl", "Br", "Si", "Se", "As", "Na", "Li", "Mg", "Ca", "Al",
+               "Fe", "Zn", "Cu", "Mn", "Sn", "Pb", "Hg", "Pt", "Au", "Ag",
+               "Cd", "Cr", "Co", "Ni", "Ba", "Bi", "Sr", "Tl", "Te", "Sb",
+               "In", "Ge", "Ga", "Mo", "Ru", "Rh", "Pd", "Kr", "Xe", "Rb",
+               "Cs", "Be", "Ne", "Ar", "He"}
+_AROMATIC_ORGANIC = {"b", "c", "n", "o", "p", "s"}
+_BOND_CHARS = {"-": SINGLE, "=": DOUBLE, "#": TRIPLE, ":": AROMATIC,
+               "/": SINGLE, "\\": SINGLE, "$": 4}
+
+
+def _parse_bracket(body: str) -> Atom:
+    m = _BRACKET_RE.match(body)
+    if not m:
+        raise SmilesError(f"bad bracket atom [{body}]")
+    sym = m.group("sym")
+    aromatic = sym[0].islower() and sym != "*"
+    if aromatic:
+        sym = sym.capitalize()
+    hc = m.group("hcount")
+    if hc is None:
+        explicit_h = 0
+    elif hc == "H":
+        explicit_h = 1
+    else:
+        explicit_h = int(hc[1:])
+    ch = m.group("charge") or ""
+    if ch.startswith("+"):
+        charge = int(ch[1:]) if ch[1:].isdigit() else len(ch)
+    elif ch.startswith("-"):
+        charge = -int(ch[1:]) if ch[1:].isdigit() else -len(ch)
+    else:
+        charge = 0
+    return Atom(symbol=sym if sym != "*" else "*", aromatic=aromatic,
+                charge=charge, explicit_h=explicit_h,
+                isotope=int(m.group("iso") or 0), in_bracket=True)
+
+
+def parse_smiles(smiles: str) -> Mol:
+    """Parse a SMILES string into a :class:`Mol` (H atoms implicit).
+
+    Raises :class:`SmilesError` on malformed input.
+    """
+    mol = Mol()
+    prev: Optional[int] = None
+    pending_bond: Optional[int] = None
+    stack: List[Tuple[Optional[int], Optional[int]]] = []
+    rings: Dict[int, Tuple[int, Optional[int]]] = {}
+    i, n = 0, len(smiles)
+
+    def add_atom(atom: Atom) -> int:
+        mol.atoms.append(atom)
+        return len(mol.atoms) - 1
+
+    def add_bond(a: int, b: int, order: Optional[int]) -> None:
+        if order is None:
+            if mol.atoms[a].aromatic and mol.atoms[b].aromatic:
+                order = AROMATIC
+            else:
+                order = SINGLE
+        bi = len(mol.bonds)
+        mol.bonds.append(Bond(a, b, order))
+        mol.atoms[a].bonds.append(bi)
+        mol.atoms[b].bonds.append(bi)
+
+    while i < n:
+        c = smiles[i]
+        if c == "[":
+            j = smiles.find("]", i)
+            if j < 0:
+                raise SmilesError("unclosed bracket")
+            idx = add_atom(_parse_bracket(smiles[i + 1:j]))
+            if prev is not None:
+                add_bond(prev, idx, pending_bond)
+            prev, pending_bond = idx, None
+            i = j + 1
+        elif c.isalpha() or c == "*":
+            if c.isupper() and i + 1 < n and smiles[i:i + 2] in _TWO_LETTER:
+                sym, i = smiles[i:i + 2], i + 2
+                atom = Atom(symbol=sym)
+            elif c.islower():
+                if smiles[i] not in _AROMATIC_ORGANIC:
+                    raise SmilesError(f"unexpected atom '{c}' at {i}")
+                atom = Atom(symbol=c.upper(), aromatic=True)
+                i += 1
+            else:
+                if c not in "BCNOPSFI*":
+                    raise SmilesError(f"unexpected atom '{c}' at {i}")
+                atom = Atom(symbol=c if c != "*" else "*")
+                i += 1
+            idx = add_atom(atom)
+            if prev is not None:
+                add_bond(prev, idx, pending_bond)
+            prev, pending_bond = idx, None
+        elif c in _BOND_CHARS:
+            pending_bond = _BOND_CHARS[c]
+            if pending_bond == 4 and c == "$":
+                pending_bond = TRIPLE  # quadruple unsupported; approximate
+            i += 1
+        elif c.isdigit() or c == "%":
+            if c == "%":
+                num, i = int(smiles[i + 1:i + 3]), i + 3
+            else:
+                num, i = int(c), i + 1
+            if prev is None:
+                raise SmilesError("ring bond with no previous atom")
+            if num in rings:
+                a, order0 = rings.pop(num)
+                order = pending_bond if pending_bond is not None else order0
+                if a == prev:
+                    raise SmilesError("self ring bond")
+                add_bond(a, prev, order)
+            else:
+                rings[num] = (prev, pending_bond)
+            pending_bond = None
+        elif c == "(":
+            stack.append((prev, pending_bond))
+            pending_bond = None
+            i += 1
+        elif c == ")":
+            if not stack:
+                raise SmilesError("unbalanced ')'")
+            prev, _ = stack.pop()
+            pending_bond = None
+            i += 1
+        elif c == ".":
+            prev, pending_bond = None, None
+            i += 1
+        elif c in " \t":
+            break
+        else:
+            raise SmilesError(f"unexpected char '{c}' at {i}")
+    if rings:
+        raise SmilesError(f"unclosed ring bonds: {sorted(rings)}")
+    if stack:
+        raise SmilesError("unbalanced '('")
+    _finalize(mol)
+    return mol
+
+
+# --------------------------------------------------------------------------
+# Post-parse perception: rings, aromaticity, implicit Hs, hybridization.
+# --------------------------------------------------------------------------
+
+def _ring_bonds(mol: Mol) -> List[List[int]]:
+    """Return candidate simple rings (atom-index lists) of size 3..8.
+
+    BFS spanning tree per component; each non-tree edge (v, w) closes the
+    fundamental cycle v..lca(v,w)..w.  Fundamental cycles of a BFS tree are
+    near-minimal, which covers the SSSR-style rings aromaticity perception
+    needs (benzene, 5-rings, fused 6-6 systems)."""
+    n = mol.num_atoms()
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for bi, b in enumerate(mol.bonds):
+        adj[b.a].append((b.b, bi))
+        adj[b.b].append((b.a, bi))
+    parent = [-1] * n
+    depth = [-1] * n
+    tree_bond = set()
+    extra_bonds = []
+    from collections import deque
+    for root in range(n):
+        if depth[root] >= 0:
+            continue
+        depth[root] = 0
+        q = deque([root])
+        while q:
+            v = q.popleft()
+            for (w, bi) in adj[v]:
+                if depth[w] < 0:
+                    depth[w] = depth[v] + 1
+                    parent[w] = v
+                    tree_bond.add(bi)
+                    q.append(w)
+                elif bi not in tree_bond:
+                    extra_bonds.append(bi)
+                    tree_bond.add(bi)  # record once
+    rings: List[List[int]] = []
+    seen = set()
+    for bi in extra_bonds:
+        v, w = mol.bonds[bi].a, mol.bonds[bi].b
+        pv, pw = [v], [w]
+        a, b = v, w
+        while a != b:
+            if depth[a] >= depth[b]:
+                a = parent[a]
+                pv.append(a)
+            else:
+                b = parent[b]
+                pw.append(b)
+        cycle = pv + pw[-2::-1]  # v..lca + (w..just-below-lca reversed)
+        if 3 <= len(cycle) <= 8:
+            key = frozenset(cycle)
+            if key not in seen:
+                seen.add(key)
+                rings.append(cycle)
+    return rings
+
+
+_PI_DONORS = {"N", "O", "S", "P"}  # can donate a lone pair to the pi system
+
+
+def _perceive_aromaticity(mol: Mol) -> None:
+    """Mark Kekulé-written aromatic rings (benzene-like) as aromatic.
+
+    A ring qualifies when every member is sp2-capable and the Hückel
+    electron count over the ring is 4n+2.  Conservative: handles benzene,
+    pyridine, pyrrole, furan, thiophene, imidazole and fused 6-rings; it
+    will not find every exotic aromatic system (neither does it need to —
+    datasets overwhelmingly use aromatic-form SMILES)."""
+    rings = _ring_bonds(mol)
+    for r in rings:
+        for a in r:
+            mol.atoms[a].in_ring = True
+    bond_idx = {}
+    for bi, b in enumerate(mol.bonds):
+        bond_idx[(b.a, b.b)] = bi
+        bond_idx[(b.b, b.a)] = bi
+
+    def ring_bond_ids(r: List[int]) -> List[int]:
+        return [bond_idx[(r[k], r[(k + 1) % len(r)])] for k in range(len(r))]
+
+    changed = True
+    guard = 0
+    while changed and guard < 4:
+        changed = False
+        guard += 1
+        for r in rings:
+            rb = ring_bond_ids(r)
+            if all(mol.bonds[bi].order == AROMATIC for bi in rb):
+                continue
+            pi = 0
+            ok = True
+            for a in r:
+                atom = mol.atoms[a]
+                orders = [mol.bonds[bi].order for bi in atom.bonds]
+                n_double = sum(1 for o in orders if o == DOUBLE)
+                n_triple = sum(1 for o in orders if o == TRIPLE)
+                n_arom = sum(1 for o in orders if o == AROMATIC)
+                if n_triple or atom.symbol not in ("C", "N", "O", "S", "P", "B"):
+                    ok = False
+                    break
+                # does this atom have a double bond inside the ring?
+                has_ring_double = any(
+                    mol.bonds[bi].order == DOUBLE and bi in rb
+                    for bi in atom.bonds)
+                exo_double = n_double > 0 and not has_ring_double
+                if has_ring_double or n_arom:
+                    pi += 1
+                elif exo_double:
+                    pi += 0  # e.g. quinone carbonyl C: sp2 but no ring pi e-
+                elif atom.symbol in _PI_DONORS:
+                    pi += 2  # lone pair donated (pyrrole N, furan O, ...)
+                elif atom.symbol == "C" and atom.charge == -1:
+                    pi += 2
+                elif atom.symbol in ("C", "B") and atom.charge >= 0 and \
+                        n_double == 0:
+                    ok = False  # sp3 carbon in ring
+                    break
+            if ok and pi % 4 == 2:
+                for bi in rb:
+                    if mol.bonds[bi].order != AROMATIC:
+                        mol.bonds[bi].order = AROMATIC
+                        changed = True
+                for a in r:
+                    mol.atoms[a].aromatic = True
+
+
+def _implicit_h(atom: Atom, bond_order_sum: float) -> int:
+    if atom.in_bracket:
+        return atom.explicit_h or 0
+    vals = _VALENCES.get(atom.symbol)
+    if vals is None:
+        return 0
+    need = int(-(-bond_order_sum // 1))  # ceil
+    for v in vals:
+        if v >= need:
+            return v - need
+    return 0
+
+
+def _hybridization(mol: Mol, i: int) -> int:
+    atom = mol.atoms[i]
+    if atom.aromatic:
+        return SP2
+    orders = [mol.bonds[bi].order for bi in atom.bonds]
+    n_double = sum(1 for o in orders if o == DOUBLE)
+    n_triple = sum(1 for o in orders if o == TRIPLE)
+    if n_triple or n_double >= 2:
+        return SP
+    ve = _VALENCE_ELECTRONS.get(atom.symbol)
+    if ve is None:
+        return OTHER_HYB
+    sigma = len(orders) + atom.num_h
+    bond_e = sum(_BOND_ORDER[o] for o in orders) + atom.num_h
+    lone_pairs = max(0, int((ve - atom.charge - bond_e) // 2))
+    steric = sigma + lone_pairs
+    if n_double == 1:
+        return SP2
+    if steric >= 4:
+        return SP3
+    if steric == 3:
+        return SP2
+    if steric == 2:
+        return SP
+    return OTHER_HYB
+
+
+def _finalize(mol: Mol) -> None:
+    _perceive_aromaticity(mol)
+    for i, atom in enumerate(mol.atoms):
+        s = sum(_BOND_ORDER[mol.bonds[bi].order] for bi in atom.bonds)
+        atom.num_h = _implicit_h(atom, s)
+    for i, atom in enumerate(mol.atoms):
+        atom.hybridization = _hybridization(mol, i)

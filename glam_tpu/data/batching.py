@@ -1,0 +1,136 @@
+"""Host-side batch assembly: graphs -> fixed-shape GraphBatch stream.
+
+TPU-first replacement of the reference's per-batch PyG collation
+(torch_geometric DataLoader, reference trainer.py:37-41): we pre-compute
+one static (num_nodes, num_edges) budget per (dataset, batch_size) so
+every training step reuses a single compiled executable, and pad the
+final partial batch with empty graphs.
+
+Budget policy: nodes/edges budgets are the maximum over the epoch's
+batches, rounded up to a multiple of 8 (f32 sublane) — bounded memory
+waste, zero recompilation.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import GraphArrays, GraphBatch, pad_graphs
+
+
+def _round_up(x: int, m: int = 8) -> int:
+    return int(math.ceil(max(x, 1) / m) * m)
+
+
+def compute_budget(graphs: Sequence[GraphArrays],
+                   batch_size: int) -> Tuple[int, int]:
+    """(node_budget, edge_budget) covering any `batch_size` consecutive
+    graphs of `graphs` plus one padding node."""
+    sizes_n = [g.nodes.shape[0] for g in graphs]
+    sizes_e = [g.senders.shape[0] for g in graphs]
+    if not sizes_n:
+        return 8, 8
+    max_n = max_e = 0
+    for i in range(0, len(graphs), batch_size):
+        max_n = max(max_n, sum(sizes_n[i:i + batch_size]))
+        max_e = max(max_e, sum(sizes_e[i:i + batch_size]))
+    # +1 node so there is always at least one padding node for padded
+    # edges to attach to
+    return _round_up(max_n + 1), _round_up(max_e)
+
+
+def max_graph_nodes(graphs: Sequence[GraphArrays]) -> int:
+    return max((g.nodes.shape[0] for g in graphs), default=1)
+
+
+class GraphLoader:
+    """Iterates fixed-shape GraphBatches over a list of featurized graphs.
+
+    shuffle=True reshuffles each epoch with a per-epoch seed (epoch is
+    tracked internally; call ``set_epoch`` to override)."""
+
+    def __init__(self, graphs: Sequence[GraphArrays], batch_size: int,
+                 num_tasks: int, shuffle: bool = False, seed: int = 0,
+                 node_budget: Optional[int] = None,
+                 edge_budget: Optional[int] = None):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        self.num_tasks = num_tasks
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        if node_budget is None or edge_budget is None:
+            # worst-case budget: batch_size largest graphs (covers any
+            # shuffle order)
+            ns = sorted((g.nodes.shape[0] for g in self.graphs), reverse=True)
+            es = sorted((g.senders.shape[0] for g in self.graphs),
+                        reverse=True)
+            node_budget = _round_up(sum(ns[:batch_size]) + 1)
+            edge_budget = _round_up(max(sum(es[:batch_size]), 1))
+        self.node_budget = node_budget
+        self.edge_budget = edge_budget
+
+    def __len__(self) -> int:
+        return math.ceil(len(self.graphs) / self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
+            yield pad_graphs(chunk, self.batch_size, self.node_budget,
+                             self.edge_budget, self.num_tasks)
+
+
+class PairGraphLoader:
+    """Locked-step loader over aligned (g1, g2, y) pair samples.
+
+    Mirrors the reference's ``extract_batch_data`` re-collation
+    (src_2gi_ddi/dataset.py:170-176) but with static shapes; labels ride
+    on g1.y, g2 carries a copy."""
+
+    def __init__(self, pairs: Sequence[Tuple[GraphArrays, GraphArrays]],
+                 batch_size: int, num_tasks: int, shuffle: bool = False,
+                 seed: int = 0):
+        self.pairs = list(pairs)
+        self.batch_size = batch_size
+        self.num_tasks = num_tasks
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        g1s = [p[0] for p in self.pairs]
+        g2s = [p[1] for p in self.pairs]
+
+        def budget(gs):
+            ns = sorted((g.nodes.shape[0] for g in gs), reverse=True)
+            es = sorted((g.senders.shape[0] for g in gs), reverse=True)
+            return (_round_up(sum(ns[:batch_size]) + 1),
+                    _round_up(max(sum(es[:batch_size]), 1)))
+
+        self.budget1 = budget(g1s)
+        self.budget2 = budget(g2s)
+
+    def __len__(self) -> int:
+        return math.ceil(len(self.pairs) / self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[GraphBatch, GraphBatch]]:
+        order = np.arange(len(self.pairs))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+            self.epoch += 1
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.pairs[j] for j in order[i:i + self.batch_size]]
+            b1 = pad_graphs([p[0] for p in chunk], self.batch_size,
+                            *self.budget1, self.num_tasks)
+            b2 = pad_graphs([p[1] for p in chunk], self.batch_size,
+                            *self.budget2, self.num_tasks)
+            yield b1, b2

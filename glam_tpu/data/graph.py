@@ -1,0 +1,145 @@
+"""Static-shape batched graph container for TPU.
+
+Design (TPU-first, unlike the reference's ragged PyG ``Batch``):
+
+Variable-size molecular graphs are packed into a single fixed-shape
+``GraphBatch`` whose array shapes are determined by the bucket
+``(num_graphs, num_nodes, num_edges)`` — so XLA traces/compiles once per
+bucket and every op inside ``jit`` sees static shapes.
+
+Padding convention (jraph-style "padding graph"):
+  * One extra graph slot (the last one) owns *all* padding nodes and edges.
+  * Padded edges connect padding nodes to padding nodes.
+  * Consequently, segment reductions over ``node_graph`` / ``receivers`` in
+    the hot path need **no masking** — padded contributions land in the
+    padding graph / padding node slots and are discarded by ``graph_mask``
+    at loss/metric time.  Masks are still carried for the few ops that need
+    exact statistics over real elements (BatchNorm, PairNorm, metrics).
+
+Reference parity: this replaces ``torch_geometric.data.Batch`` collation
+used throughout the reference (e.g. /root/reference/src_1gp/dataset.py:140,
+trainer.py:37-41) with a padded, bucketed equivalent.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class GraphBatch(NamedTuple):
+    """A batch of graphs padded to static shapes.
+
+    Shapes (all static under jit): N = padded node count, E = padded edge
+    count, G = padded graph count (last slot = padding graph), Fn/Fe = node
+    and edge feature widths, T = number of targets.
+    """
+
+    nodes: jnp.ndarray        # [N, Fn] float32 node features
+    edges: jnp.ndarray        # [E, Fe] float32 edge features
+    senders: jnp.ndarray      # [E] int32 source node index of each edge
+    receivers: jnp.ndarray    # [E] int32 destination node index of each edge
+    node_graph: jnp.ndarray   # [N] int32 graph id of each node
+    node_pos: jnp.ndarray     # [N] int32 position of node within its graph
+    n_node: jnp.ndarray       # [G] int32 node count per graph (incl. pad graph)
+    node_mask: jnp.ndarray    # [N] bool True for real nodes
+    edge_mask: jnp.ndarray    # [E] bool True for real edges
+    graph_mask: jnp.ndarray   # [G] bool True for real graphs
+    y: jnp.ndarray            # [G, T] float32 labels (NaN -> -1 for clf tasks)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.n_node.shape[0]
+
+
+class GraphArrays(NamedTuple):
+    """A single un-padded graph as host numpy arrays (featurizer output)."""
+
+    nodes: np.ndarray        # [n, Fn] float32
+    edges: np.ndarray        # [e, Fe] float32
+    senders: np.ndarray      # [e] int32
+    receivers: np.ndarray    # [e] int32
+    y: np.ndarray            # [T] float32
+    smi: str = ""
+
+
+def pad_graphs(
+    graphs: Sequence[GraphArrays],
+    num_graphs: int,
+    num_nodes: int,
+    num_edges: int,
+    num_tasks: Optional[int] = None,
+) -> GraphBatch:
+    """Pack ``graphs`` into one static-shape :class:`GraphBatch`.
+
+    ``num_graphs`` counts only *real* graph slots; one extra padding-graph
+    slot is appended, so the result has ``G = num_graphs + 1`` graphs.
+    Raises if the batch does not fit the requested budget.
+    """
+    g_real = len(graphs)
+    if g_real > num_graphs:
+        raise ValueError(f"{g_real} graphs > budget {num_graphs}")
+    tot_n = sum(g.nodes.shape[0] for g in graphs)
+    tot_e = sum(g.senders.shape[0] for g in graphs)
+    if tot_n > num_nodes or tot_e > num_edges:
+        raise ValueError(
+            f"batch needs ({tot_n} nodes, {tot_e} edges) > budget "
+            f"({num_nodes}, {num_edges})")
+    if not graphs:
+        raise ValueError("empty batch")
+    fn = graphs[0].nodes.shape[1]
+    fe = graphs[0].edges.shape[1] if graphs[0].edges.ndim == 2 else 0
+    nt = num_tasks if num_tasks is not None else graphs[0].y.shape[-1]
+    G = num_graphs + 1
+
+    nodes = np.zeros((num_nodes, fn), np.float32)
+    edges = np.zeros((num_edges, fe), np.float32)
+    senders = np.full((num_edges,), num_nodes - 1, np.int32)
+    receivers = np.full((num_edges,), num_nodes - 1, np.int32)
+    node_graph = np.full((num_nodes,), G - 1, np.int32)
+    node_pos = np.zeros((num_nodes,), np.int32)
+    n_node = np.zeros((G,), np.int32)
+    y = np.full((G, nt), -1.0, np.float32)
+
+    n_off = 0
+    e_off = 0
+    for gi, g in enumerate(graphs):
+        n, e = g.nodes.shape[0], g.senders.shape[0]
+        nodes[n_off:n_off + n] = g.nodes
+        if e:
+            edges[e_off:e_off + e] = g.edges
+            senders[e_off:e_off + e] = g.senders + n_off
+            receivers[e_off:e_off + e] = g.receivers + n_off
+        node_graph[n_off:n_off + n] = gi
+        node_pos[n_off:n_off + n] = np.arange(n, dtype=np.int32)
+        n_node[gi] = n
+        y[gi] = np.asarray(g.y, np.float32).reshape(-1)[:nt]
+        n_off += n
+        e_off += e
+    # padding nodes belong to the padding graph; give them positions too
+    n_node[G - 1] = num_nodes - n_off
+    node_pos[n_off:] = np.arange(num_nodes - n_off, dtype=np.int32)
+
+    node_mask = np.zeros((num_nodes,), bool)
+    node_mask[:n_off] = True
+    edge_mask = np.zeros((num_edges,), bool)
+    edge_mask[:e_off] = True
+    graph_mask = np.zeros((G,), bool)
+    graph_mask[:g_real] = True
+
+    return GraphBatch(
+        nodes=jnp.asarray(nodes), edges=jnp.asarray(edges),
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        node_graph=jnp.asarray(node_graph), node_pos=jnp.asarray(node_pos),
+        n_node=jnp.asarray(n_node), node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask), graph_mask=jnp.asarray(graph_mask),
+        y=jnp.asarray(y))

@@ -1,0 +1,76 @@
+"""Single-trial CLI entry point — parity with reference run.py:10-62.
+
+Usage: python -m glam_tpu.run --dataset demo --dataset_root ./demo ...
+All ~25 reference flags are supported with the same names/defaults so
+AutoML-generated commands carry over verbatim.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", default="./dataset", type=str)
+    p.add_argument("--dataset", type=str, default="esol")
+    p.add_argument("--split", type=str, default="random",
+                   help="random, scaffold")
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--split_seed", type=int, default=1234)
+    p.add_argument("--gpu", default=0, type=int,
+                   help="device index (TPU chip id)")
+    p.add_argument("--note", default="None2", type=str)
+
+    p.add_argument("--hid_dim_alpha", default=4, type=int)
+    p.add_argument("--mol_block", type=str, default="_NNConv")
+    p.add_argument("--e_dim", default=1024, type=int)
+    p.add_argument("--out_dim", default=1, type=int)
+    p.add_argument("--message_steps", default=3, type=int)
+    p.add_argument("--mol_readout", default="GlobalPool5", type=str)
+
+    p.add_argument("--pre_norm", default="_None", type=str)
+    p.add_argument("--graph_norm", default="_PairNorm", type=str)
+    p.add_argument("--flat_norm", default="_None", type=str)
+    p.add_argument("--end_norm", default="_None", type=str)
+    p.add_argument("--pre_do", default="_None()", type=str)
+    p.add_argument("--graph_do", default="_None()", type=str)
+    p.add_argument("--flat_do", default="Dropout(0.2)", type=str)
+    p.add_argument("--end_do", default="Dropout(0.2)", type=str)
+    p.add_argument("--pre_act", default="RReLU", type=str)
+    p.add_argument("--graph_act", default="RReLU", type=str)
+    p.add_argument("--flat_act", default="RReLU", type=str)
+    p.add_argument("--graph_res", default=1, type=int)
+
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--epochs", default=800, type=int)
+    p.add_argument("--loss", default="mse", type=str)
+    p.add_argument("--optim", default="Adam", type=str)
+    p.add_argument("--k", default=6, type=int, help="lookahead steps")
+    p.add_argument("--lr", default=0.001, type=float)
+    p.add_argument("--lr_reduce_rate", default=0.7, type=float)
+    p.add_argument("--lr_reduce_patience", default=20, type=int)
+    p.add_argument("--early_stop_patience", default=50, type=int)
+    p.add_argument("--verbose_patience", default=500, type=int)
+    p.add_argument("--work_dir", default=None, type=str,
+                   help="where log_{dataset}/ run dirs are created")
+    return p
+
+
+def main(argv=None):
+    args = vars(build_parser().parse_args(argv))
+    from .data.datasets import auto_dataset
+    from .train.trainer import make_trainer
+    from .utils.seed import seed_everything
+
+    seed_everything(args["seed"])
+    print("Loading dataset...")
+    args, dataset, trainer_kind = auto_dataset(args)
+    print("Training init...")
+    trainer = make_trainer(args, dataset, trainer_kind,
+                           work_dir=args.get("work_dir"))
+    trainer.train_and_test()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

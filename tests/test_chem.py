@@ -1,0 +1,139 @@
+"""Chem subsystem tests: SMILES parsing, featurization, scaffolds.
+
+Golden values hand-derived from the reference feature definitions
+(/root/reference/src_1gp/dataset.py:60-97)."""
+import numpy as np
+import pytest
+
+from glam_tpu.chem.featurize import (NUM_EDGE_FEATURES, NUM_NODE_FEATURES,
+                                     is_valid_smiles, smiles_to_arrays)
+from glam_tpu.chem.scaffold import (random_scaffold_split, random_split,
+                                    scaffold_key)
+from glam_tpu.chem.smiles import parse_smiles
+
+
+class TestParser:
+    def test_ethanol(self):
+        m = parse_smiles("CCO")
+        assert [a.symbol for a in m.atoms] == ["C", "C", "O"]
+        assert [a.num_h for a in m.atoms] == [3, 2, 1]
+        assert len(m.bonds) == 2
+
+    def test_benzene_aromatic_and_kekule_identical(self):
+        xa, sa, ra, ea = smiles_to_arrays("c1ccccc1")
+        xk, sk, rk, ek = smiles_to_arrays("C1=CC=CC=C1")
+        np.testing.assert_array_equal(xa, xk)
+        np.testing.assert_array_equal(ea, ek)
+
+    def test_pyridine(self):
+        m = parse_smiles("c1ccncc1")
+        assert all(a.aromatic for a in m.atoms)
+        n = [a for a in m.atoms if a.symbol == "N"][0]
+        assert n.num_h == 0
+
+    def test_pyrrole_bracket_h(self):
+        m = parse_smiles("c1cc[nH]c1")
+        n = [a for a in m.atoms if a.symbol == "N"][0]
+        assert n.num_h == 1 and n.aromatic
+
+    def test_charges(self):
+        m = parse_smiles("[NH4+]")
+        assert m.atoms[0].charge == 1 and m.atoms[0].num_h == 4
+        m = parse_smiles("[O-]C=O")
+        assert m.atoms[0].charge == -1
+
+    def test_ring_closure_percent(self):
+        m = parse_smiles("C%10CC%10")
+        assert len(m.bonds) == 3  # 3-ring
+
+    def test_disconnected(self):
+        m = parse_smiles("[Na+].[Cl-]")
+        assert len(m.atoms) == 2 and len(m.bonds) == 0
+
+    def test_triple_bond_sp(self):
+        m = parse_smiles("C#N")
+        assert m.atoms[0].hybridization == 1  # SP
+        assert m.atoms[0].num_h == 1
+
+    def test_invalid(self):
+        assert not is_valid_smiles("C1CC")      # unclosed ring
+        assert not is_valid_smiles("C(C")       # unbalanced paren
+        assert not is_valid_smiles("")
+
+
+class TestFeaturizer:
+    def test_shapes(self):
+        x, s, r, e = smiles_to_arrays("CC(=O)Oc1ccccc1C(=O)O")  # aspirin
+        assert x.shape == (13, NUM_NODE_FEATURES)
+        assert e.shape[0] == s.shape[0] == r.shape[0]
+        assert e.shape[1] == NUM_EDGE_FEATURES
+
+    def test_ethanol_features(self):
+        x, s, r, e = smiles_to_arrays("CCO")
+        # C one-hot at idx 1, O at idx 3; SP3 at 9+2; atomic number idx 12
+        assert x[0, 1] == 1 and x[2, 3] == 1
+        assert x[0, 11] == 1 and x[2, 11] == 1  # SP3
+        assert x[0, 12] == 6 and x[2, 12] == 8
+        assert (x[:, 13] == 0).all()  # not aromatic
+        assert (x[:, 14] == 0).all()  # no explicit-H neighbors
+        # both directions, sorted by src*N+dst
+        key = s.astype(np.int64) * 3 + r
+        assert (np.diff(key) > 0).all()
+        assert e[:, 0].sum() == 4  # 2 single bonds x 2 directions
+
+    def test_benzene_features(self):
+        x, s, r, e = smiles_to_arrays("c1ccccc1")
+        assert (x[:, 13] == 1).all()          # aromatic flags
+        assert (x[:, 10] == 1).all()          # SP2
+        assert (e[:, 3] == 1).all()           # aromatic bond one-hot
+        assert e.shape[0] == 12               # 6 bonds x 2
+
+    def test_unknown_symbol_zero_onehot(self):
+        # reference one_of_k_encoding passes on unknown symbols
+        x, *_ = smiles_to_arrays("[Na+].[Cl-]")
+        assert x[0, :9].sum() == 0            # Na: all-zero symbol one-hot
+        assert x[1, :9].sum() == 1            # Cl known
+
+    def test_explicit_h_neighbor_count(self):
+        x, *_ = smiles_to_arrays("[H]C([H])([H])[H]")
+        c = x[np.argmax(x[:, 1])]
+        assert c[14] == 4
+
+
+class TestScaffold:
+    def test_acyclic_empty(self):
+        assert scaffold_key("CCO") == ""
+        assert scaffold_key("CC(C)Br") == ""
+
+    def test_same_scaffold(self):
+        # toluene / ethylbenzene / phenol share the benzene scaffold
+        keys = {scaffold_key(s) for s in ["Cc1ccccc1", "CCc1ccccc1",
+                                          "Oc1ccccc1"]}
+        assert len(keys) == 1 and "" not in keys
+
+    def test_different_scaffolds(self):
+        assert scaffold_key("c1ccccc1") != scaffold_key("c1ccncc1")
+        assert scaffold_key("c1ccccc1") != scaffold_key("C1CCCCC1")
+
+    def test_split_disjoint_and_deterministic(self):
+        smis = ["Cc1ccccc1", "CCc1ccccc1", "c1ccncc1", "C1CCCCC1",
+                "CC1CCCCC1", "c1ccc2ccccc2c1", "CCO", "CCC", "CCCC",
+                "c1ccsc1"] * 5
+        tr, va, te = random_scaffold_split(smis, seed=7)
+        tr2, va2, te2 = random_scaffold_split(smis, seed=7)
+        np.testing.assert_array_equal(tr, tr2)
+        all_idx = np.concatenate([tr, va, te])
+        assert len(set(all_idx.tolist())) == len(all_idx) == len(smis)
+        # groups must not straddle splits
+        groups = {}
+        for i, s in enumerate(smis):
+            groups.setdefault(scaffold_key(s), []).append(i)
+        for g in groups.values():
+            in_tr = any(i in set(tr.tolist()) for i in g)
+            in_va = any(i in set(va.tolist()) for i in g)
+            in_te = any(i in set(te.tolist()) for i in g)
+            assert in_tr + in_va + in_te == 1
+
+    def test_random_split_sizes(self):
+        tr, va, te = random_split(100, seed=1)
+        assert len(tr) == 80 and len(va) == 10 and len(te) == 10
