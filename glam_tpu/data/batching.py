@@ -17,7 +17,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .graph import GraphArrays, GraphBatch, pad_graphs
+from .graph import GraphArrays, GraphBatch, max_in_degree, pad_graphs
 
 
 def _round_up(x: int, m: int = 8) -> int:
@@ -54,13 +54,19 @@ class GraphLoader:
     def __init__(self, graphs: Sequence[GraphArrays], batch_size: int,
                  num_tasks: int, shuffle: bool = False, seed: int = 0,
                  node_budget: Optional[int] = None,
-                 edge_budget: Optional[int] = None):
+                 edge_budget: Optional[int] = None,
+                 ell_k: Optional[int] = "auto"):
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.num_tasks = num_tasks
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        if ell_k == "auto":
+            # ELL width = max in-degree, rounded up to a multiple of 4
+            ell_k = _round_up(max_in_degree(self.graphs), 4) \
+                if self.graphs else None
+        self.ell_k = ell_k
         if node_budget is None or edge_budget is None:
             # worst-case budget: batch_size largest graphs (covers any
             # shuffle order)
@@ -87,7 +93,8 @@ class GraphLoader:
         for i in range(0, len(order), self.batch_size):
             chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
             yield pad_graphs(chunk, self.batch_size, self.node_budget,
-                             self.edge_budget, self.num_tasks)
+                             self.edge_budget, self.num_tasks,
+                             ell_k=self.ell_k)
 
 
 class PairGraphLoader:
@@ -117,6 +124,8 @@ class PairGraphLoader:
 
         self.budget1 = budget(g1s)
         self.budget2 = budget(g2s)
+        self.ell_k1 = _round_up(max_in_degree(g1s), 4) if g1s else None
+        self.ell_k2 = _round_up(max_in_degree(g2s), 4) if g2s else None
 
     def __len__(self) -> int:
         return math.ceil(len(self.pairs) / self.batch_size)
@@ -130,7 +139,9 @@ class PairGraphLoader:
         for i in range(0, len(order), self.batch_size):
             chunk = [self.pairs[j] for j in order[i:i + self.batch_size]]
             b1 = pad_graphs([p[0] for p in chunk], self.batch_size,
-                            *self.budget1, self.num_tasks)
+                            *self.budget1, self.num_tasks,
+                            ell_k=self.ell_k1)
             b2 = pad_graphs([p[1] for p in chunk], self.batch_size,
-                            *self.budget2, self.num_tasks)
+                            *self.budget2, self.num_tasks,
+                            ell_k=self.ell_k2)
             yield b1, b2

@@ -21,7 +21,16 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
+from ..chem import native as _native
 from ..chem.featurize import FeaturizeError, smiles_to_arrays
+
+
+def featurize_smiles(smi: str):
+    """SMILES -> arrays via the C++ native path when built (identical
+    output, ~10-30x faster); Python implementation otherwise."""
+    if _native.available():
+        return _native.smiles_to_arrays_native(smi)
+    return smiles_to_arrays(smi)
 from ..chem.scaffold import random_scaffold_split, random_split
 from .graph import GraphArrays
 
@@ -110,7 +119,7 @@ class MolDataset:
         n_skipped = 0
         for i, smi in enumerate(df[smiles_col].values):
             try:
-                x, snd, rcv, e = smiles_to_arrays(str(smi))
+                x, snd, rcv, e = featurize_smiles(str(smi))
             except (FeaturizeError, Exception):
                 n_skipped += 1
                 continue

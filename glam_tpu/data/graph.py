@@ -47,6 +47,13 @@ class GraphBatch(NamedTuple):
     edge_mask: jnp.ndarray    # [E] bool True for real edges
     graph_mask: jnp.ndarray   # [G] bool True for real graphs
     y: jnp.ndarray            # [G, T] float32 labels (NaN -> -1 for clf tasks)
+    # ELLPACK neighbor layout (TPU fast path): per-node padded incoming
+    # neighbor lists.  Molecular graphs have max degree ~4, so attention
+    # softmax + aggregation become dense masked reductions over the K
+    # axis — no segment scatters in the hot path.  None => segment path.
+    ell_nbr: Optional[jnp.ndarray] = None    # [N, K] int32 source node idx
+    ell_edge: Optional[jnp.ndarray] = None   # [N, K] int32 edge idx
+    ell_mask: Optional[jnp.ndarray] = None   # [N, K] bool real-edge slots
 
     @property
     def num_nodes(self) -> int:
@@ -72,12 +79,46 @@ class GraphArrays(NamedTuple):
     smi: str = ""
 
 
+def build_ell(senders: np.ndarray, receivers: np.ndarray, num_nodes: int,
+              k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the ELLPACK incoming-neighbor layout from an edge list.
+
+    Returns (nbr [N,K] sender idx, edge [N,K] edge idx, mask [N,K]).
+    Unused slots point at the last (padding) node / edge 0 with mask
+    False.  Raises if any node's in-degree exceeds ``k``."""
+    nbr = np.full((num_nodes, k), num_nodes - 1, np.int32)
+    eid = np.zeros((num_nodes, k), np.int32)
+    mask = np.zeros((num_nodes, k), bool)
+    fill = np.zeros((num_nodes,), np.int32)
+    for e in range(len(senders)):
+        r = receivers[e]
+        slot = fill[r]
+        if slot >= k:
+            raise ValueError(
+                f"node {r} in-degree exceeds ELL width k={k}")
+        nbr[r, slot] = senders[e]
+        eid[r, slot] = e
+        mask[r, slot] = True
+        fill[r] = slot + 1
+    return nbr, eid, mask
+
+
+def max_in_degree(graphs: Sequence["GraphArrays"]) -> int:
+    """Max incoming degree over a graph list (for picking ELL width)."""
+    best = 1
+    for g in graphs:
+        if g.senders.shape[0]:
+            best = max(best, int(np.bincount(g.receivers).max()))
+    return best
+
+
 def pad_graphs(
     graphs: Sequence[GraphArrays],
     num_graphs: int,
     num_nodes: int,
     num_edges: int,
     num_tasks: Optional[int] = None,
+    ell_k: Optional[int] = None,
 ) -> GraphBatch:
     """Pack ``graphs`` into one static-shape :class:`GraphBatch`.
 
@@ -136,10 +177,21 @@ def pad_graphs(
     graph_mask = np.zeros((G,), bool)
     graph_mask[:g_real] = True
 
+    ell_nbr = ell_edge = ell_mask = None
+    if ell_k is not None:
+        # only real edges participate; padded edges (sender=receiver=last
+        # padding node) are excluded so the padding node's list stays empty
+        e_real = e_off
+        nbr, eid, emask = build_ell(senders[:e_real], receivers[:e_real],
+                                    num_nodes, ell_k)
+        ell_nbr, ell_edge, ell_mask = (jnp.asarray(nbr), jnp.asarray(eid),
+                                       jnp.asarray(emask))
+
     return GraphBatch(
         nodes=jnp.asarray(nodes), edges=jnp.asarray(edges),
         senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
         node_graph=jnp.asarray(node_graph), node_pos=jnp.asarray(node_pos),
         n_node=jnp.asarray(n_node), node_mask=jnp.asarray(node_mask),
         edge_mask=jnp.asarray(edge_mask), graph_mask=jnp.asarray(graph_mask),
-        y=jnp.asarray(y))
+        y=jnp.asarray(y), ell_nbr=ell_nbr, ell_edge=ell_edge,
+        ell_mask=ell_mask)

@@ -1,0 +1,47 @@
+"""AutoML solver CLI — parity with reference glam.py:123-145.
+
+Usage: python -m glam_tpu.glam --dataset demo --dataset_root ./datasets/demo \
+           --n_init_configs 5 --n_top_blend 2 --n_high_fidelity_seed 2
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, default="esol")
+    p.add_argument("--dataset_root", type=str, default="./dataset")
+    p.add_argument("--n_init_configs", default=200, type=int,
+                   help="n initialized configurations")
+    p.add_argument("--n_low_fidelity_seed", default=3, type=int,
+                   help="runs per configuration in the search phase")
+    p.add_argument("--n_top_blend", default=3, type=int,
+                   help="auto blend n models")
+    p.add_argument("--n_high_fidelity_seed", default=5, type=int,
+                   help="full-epoch runs per top config")
+    p.add_argument("--seed", default=1234, type=int)
+    p.add_argument("--split_seed", default=1234, type=int)
+    p.add_argument("--work_dir", default=".", type=str)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .automl.solver import GLAM
+
+    solver = GLAM(
+        dataset=args.dataset, dataset_root=args.dataset_root,
+        n_init_configs=args.n_init_configs,
+        n_low_fidelity_seed=args.n_low_fidelity_seed,
+        n_top_blend=args.n_top_blend,
+        n_high_fidelity_seed=args.n_high_fidelity_seed,
+        seed=args.seed, split_seed=args.split_seed,
+        work_dir=args.work_dir)
+    solver.low_fidelity_training()
+    solver.auto_blend()
+    return solver
+
+
+if __name__ == "__main__":
+    main()

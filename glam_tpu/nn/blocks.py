@@ -105,7 +105,7 @@ class MessageBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, senders, receivers, h=None, *,
-                 node_graph=None, n_node=None, node_mask=None,
+                 node_graph=None, n_node=None, node_mask=None, ell=None,
                  deterministic: bool = True):
         rate = parse_dropout(self.dropout)
         identity = x
@@ -117,7 +117,7 @@ class MessageBlock(nn.Module):
         if rate > 0.0:
             y = nn.Dropout(rate=rate, deterministic=deterministic)(y)
         y = get_conv(self.conv, self.in_dim, self.out_dim, self.edge_dim)(
-            y, edge_attr, senders, receivers)
+            y, edge_attr, senders, receivers, ell=ell)
         if self.has_gru:
             y = get_activation("CELU")(y)
             y = GRUCell(in_dim=self.in_dim, hidden=self.out_dim,

@@ -33,6 +33,18 @@ def _leaky_relu(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def _ell_softmax(logits, mask):
+    """Masked softmax over the K (axis=1) neighbor axis of [N, K, ...].
+
+    Matches segment-softmax semantics: per-destination max subtraction,
+    +1e-16 in the denominator, zero weights for empty rows."""
+    neg = jnp.where(mask, logits, -jnp.inf)
+    mx = jnp.max(neg, axis=1, keepdims=True)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(mask, jnp.exp(logits - mx), 0.0)
+    return ex / (jnp.sum(ex, axis=1, keepdims=True) + 1e-16)
+
+
 class TripletMessage(nn.Module):
     """Multi-head edge-conditioned attention MP (reference layer.py:15-64).
 
@@ -49,7 +61,7 @@ class TripletMessage(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None):
         C, H = self.channels, self.heads
         wn = self.param("weight_node", kaiming_uniform(0), (C, H * C))
         we = self.param("weight_edge", kaiming_uniform(0),
@@ -71,11 +83,21 @@ class TripletMessage(nn.Module):
         a_i = jnp.einsum("nhc,hc->nh", xh, w_i)   # [N, H]
         a_j = jnp.einsum("nhc,hc->nh", xh, w_j)   # [N, H]
         a_e = jnp.einsum("ehc,hc->eh", eh, w_e)   # [E, H]
-        logits = a_i[receivers] + a_e + a_j[senders]      # [E, H]
-        logits = _leaky_relu(logits, self.negative_slope)
-        alpha = segment_softmax(logits, receivers, x.shape[0])  # [E, H]
-        msg = alpha[:, :, None] * eh * xh[senders]        # [E, H, C]
-        aggr = segment_sum(msg.reshape(-1, H * C), receivers, x.shape[0])
+        if ell is not None:
+            nbr, eid, mask = ell                  # [N, K]
+            logits = _leaky_relu(
+                a_i[:, None, :] + a_e[eid] + a_j[nbr],
+                self.negative_slope)              # [N, K, H]
+            alpha = _ell_softmax(logits, mask[..., None])
+            msg = alpha[..., None] * eh[eid] * xh[nbr]    # [N, K, H, C]
+            aggr = jnp.sum(msg, axis=1).reshape(-1, H * C)
+        else:
+            logits = a_i[receivers] + a_e + a_j[senders]  # [E, H]
+            logits = _leaky_relu(logits, self.negative_slope)
+            alpha = segment_softmax(logits, receivers, x.shape[0])
+            msg = alpha[:, :, None] * eh * xh[senders]    # [E, H, C]
+            aggr = segment_sum(msg.reshape(-1, H * C), receivers,
+                               x.shape[0])
         return aggr @ wscale + bias
 
 
@@ -87,7 +109,7 @@ class TripletMessageLight(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None):
         C = self.channels
         wn = self.param("weight_node", kaiming_uniform(0), (C, C))
         watt = self.param("weight_triplet_att", kaiming_uniform(0),
@@ -100,11 +122,18 @@ class TripletMessageLight(nn.Module):
         a_i = xp @ w_i
         a_j = xp @ w_j
         a_e = edge_attr @ w_e
-        logits = _leaky_relu(a_i[receivers] + a_e + a_j[senders],
-                             self.negative_slope)
-        alpha = segment_softmax(logits, receivers, x.shape[0])
-        aggr = segment_sum(alpha[:, None] * xp[senders], receivers,
-                           x.shape[0])
+        if ell is not None:
+            nbr, eid, mask = ell
+            logits = _leaky_relu(a_i[:, None] + a_e[eid] + a_j[nbr],
+                                 self.negative_slope)      # [N, K]
+            alpha = _ell_softmax(logits, mask)
+            aggr = jnp.sum(alpha[..., None] * xp[nbr], axis=1)
+        else:
+            logits = _leaky_relu(a_i[receivers] + a_e + a_j[senders],
+                                 self.negative_slope)
+            alpha = segment_softmax(logits, receivers, x.shape[0])
+            aggr = segment_sum(alpha[:, None] * xp[senders], receivers,
+                               x.shape[0])
         return aggr + bias
 
 
@@ -118,7 +147,7 @@ class NNConv(nn.Module):
     hidden: int = 32
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None):
         ci, co = self.in_channels, self.out_channels
         h1 = nn.Dense(self.hidden, kernel_init=torch_linear_kernel(),
                       bias_init=torch_linear_bias(self.edge_channels),
@@ -129,7 +158,14 @@ class NNConv(nn.Module):
                         name="edge_mlp_1")(h1)
         wmat = wmat.reshape(-1, ci, co)                    # [E, Ci, Co]
         msg = jnp.einsum("ec,eco->eo", x[senders], wmat)   # [E, Co]
-        aggr = segment_mean(msg, receivers, x.shape[0])
+        if ell is not None:
+            nbr, eid, mask = ell
+            gathered = jnp.where(mask[..., None], msg[eid], 0.0)  # [N,K,Co]
+            cnt = jnp.maximum(jnp.sum(mask, axis=1,
+                                      keepdims=True).astype(x.dtype), 1.0)
+            aggr = jnp.sum(gathered, axis=1) / cnt
+        else:
+            aggr = segment_mean(msg, receivers, x.shape[0])
         # PyG NNConv root weight init: uniform(-1/sqrt(Ci), ..) ("glorot"
         # style of PyG 1.7 is uniform based on fan_in of root = Ci)
         root = self.param("root", kaiming_uniform(0), (ci, co))
@@ -147,18 +183,25 @@ class GCNConv(nn.Module):
     edge_channels: int = 0
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None):
         N = x.shape[0]
         w = self.param("weight", kaiming_uniform(0),
                        (self.in_channels, self.out_channels))
         bias = self.param("bias", lambda k, s: jnp.zeros(s),
                           (self.out_channels,))
         xp = x @ w
-        ones = jnp.ones(senders.shape[0], xp.dtype)
-        deg = segment_sum(ones, receivers, N) + 1.0        # + self-loop
-        dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
-        norm = dinv[senders] * dinv[receivers]             # [E]
-        out = segment_sum(norm[:, None] * xp[senders], receivers, N)
+        if ell is not None:
+            nbr, eid, mask = ell
+            deg = jnp.sum(mask, axis=1).astype(xp.dtype) + 1.0
+            dinv = jax.lax.rsqrt(deg)
+            norm = jnp.where(mask, dinv[:, None] * dinv[nbr], 0.0)  # [N,K]
+            out = jnp.sum(norm[..., None] * xp[nbr], axis=1)
+        else:
+            ones = jnp.ones(senders.shape[0], xp.dtype)
+            deg = segment_sum(ones, receivers, N) + 1.0    # + self-loop
+            dinv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+            norm = dinv[senders] * dinv[receivers]         # [E]
+            out = segment_sum(norm[:, None] * xp[senders], receivers, N)
         out = out + (dinv * dinv)[:, None] * xp            # self-loop term
         return out + bias
 
@@ -172,7 +215,7 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None):
         N = x.shape[0]
         H, C = self.heads, self.out_channels
         w = self.param("weight", kaiming_uniform(0), (self.in_channels, H * C))
@@ -182,14 +225,29 @@ class GATConv(nn.Module):
         xp = (x @ w).reshape(N, H, C)
         a_src = jnp.einsum("nhc,hc->nh", xp, att_src)
         a_dst = jnp.einsum("nhc,hc->nh", xp, att_dst)
-        # append one self-loop per node (static shape: E + N edges)
-        loop = jnp.arange(N, dtype=senders.dtype)
-        snd = jnp.concatenate([senders, loop])
-        rcv = jnp.concatenate([receivers, loop])
-        logits = _leaky_relu(a_src[snd] + a_dst[rcv], self.negative_slope)
-        alpha = segment_softmax(logits, rcv, N)            # [E+N, H]
-        msg = alpha[:, :, None] * xp[snd]                  # [E+N, H, C]
-        out = segment_sum(msg, rcv, N).reshape(N, H * C)
+        if ell is not None:
+            # neighbors in K slots + the self-loop as a K+1-th slot
+            nbr, eid, mask = ell
+            logits_n = a_src[nbr] + a_dst[:, None, :]      # [N, K, H]
+            logits_s = (a_src + a_dst)[:, None, :]         # [N, 1, H]
+            logits = _leaky_relu(
+                jnp.concatenate([logits_n, logits_s], axis=1),
+                self.negative_slope)                       # [N, K+1, H]
+            full_mask = jnp.concatenate(
+                [mask, jnp.ones((N, 1), bool)], axis=1)[..., None]
+            alpha = _ell_softmax(logits, full_mask)
+            vals = jnp.concatenate([xp[nbr], xp[:, None]], axis=1)
+            out = jnp.sum(alpha[..., None] * vals, axis=1).reshape(N, H * C)
+        else:
+            # append one self-loop per node (static shape: E + N edges)
+            loop = jnp.arange(N, dtype=senders.dtype)
+            snd = jnp.concatenate([senders, loop])
+            rcv = jnp.concatenate([receivers, loop])
+            logits = _leaky_relu(a_src[snd] + a_dst[rcv],
+                                 self.negative_slope)
+            alpha = segment_softmax(logits, rcv, N)        # [E+N, H]
+            msg = alpha[:, :, None] * xp[snd]              # [E+N, H, C]
+            out = segment_sum(msg, rcv, N).reshape(N, H * C)
         return out + bias
 
 

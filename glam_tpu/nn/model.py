@@ -90,12 +90,15 @@ class _Tower(nn.Module):
                             norm=c.graph_norm, dropout=c.graph_do,
                             conv=self.block, act=c.graph_act,
                             res=c.graph_res, name="conv")
+        ell = ((g.ell_nbr, g.ell_edge, g.ell_mask)
+               if g.ell_nbr is not None else None)
         h = None
         xs = []
         for _ in range(self.message_steps):
             x, h = conv(x, g.edges, g.senders, g.receivers, h,
                         node_graph=g.node_graph, n_node=g.n_node,
-                        node_mask=g.node_mask, deterministic=deterministic)
+                        node_mask=g.node_mask, ell=ell,
+                        deterministic=deterministic)
             xs.append(x)
         readout, mult = get_readout(self.readout, self.hid_dim,
                                     self.max_nodes)

@@ -1,0 +1,248 @@
+"""Pair-task trainers (DDI / DTI / screening).
+
+Parity with the reference pair trainers:
+  pair_binary_bce   DDI TrainerMolBinaryClassificationNANBCE
+                    (src_2gi_ddi/trainer.py:146-191): sigmoid + BCE on a
+                    single pair logit
+  pair_multiclass   DDI TrainerMolMultiClassificationNANBCE (:194-239):
+                    CE over C classes + log-softmax scores
+  pair_regression   DTI TrainerRegression
+                    (src_2gi_dti_scr/trainer.py:162-207)
+  pair_binary       DTI TrainerBinaryClassification (:210-259): 2-logit
+                    softmax, returns labels/pred_labels/scores
+  pair_screening    DTI TrainerScreening (:262-267): class-weighted CE +
+                    screening metrics (BEDROC/EF)
+
+Shares the Trainer skeleton (epoch loop, early stop, scheduler, ckpt,
+parseable final line); only the loaders, jitted steps and metric heads
+differ.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import PairGraphLoader
+from ..nn.model import ModelConfig, PairArchitecture, model_config_from_args
+from .losses import bce_logits, cross_entropy, get_loss, mse
+from .metrics import (binary_metrics, multi_class_metrics,
+                      regression_metrics, screening_metrics)
+from .trainer import TrainState, Trainer
+
+
+def make_pair_loss_fn(task: str, loss_name: str, num_classes: int,
+                      class_weights=None):
+    if task == "pair_binary_bce":
+        def loss_fn(out, y, gmask):
+            return bce_logits(out[:, 0], y[:, 0],
+                              weight=gmask.astype(out.dtype))
+    elif task == "pair_multiclass":
+        def loss_fn(out, y, gmask):
+            return cross_entropy(out, y[:, 0],
+                                 weight=gmask.astype(out.dtype))
+    elif task == "pair_regression":
+        criterion = get_loss(loss_name)
+
+        def loss_fn(out, y, gmask):
+            return criterion(out[:, 0], y[:, 0],
+                             weight=gmask.astype(out.dtype))
+    elif task in ("pair_binary", "pair_screening"):
+        cw = (jnp.asarray(class_weights, jnp.float32)
+              if class_weights is not None and task == "pair_screening"
+              else None)
+
+        def loss_fn(out, y, gmask):
+            return cross_entropy(out, y[:, 0],
+                                 weight=gmask.astype(out.dtype),
+                                 class_weight=cw)
+    else:
+        raise ValueError(f"unknown pair task {task!r}")
+    return loss_fn
+
+
+class PairTrainer(Trainer):
+    """Trainer over (GraphBatch, GraphBatch) pair streams."""
+
+    def __init__(self, args: Dict, model, train_pairs, valid_pairs,
+                 test_pairs=None, print_log: bool = True,
+                 work_dir: Optional[str] = None, class_weights=None):
+        self.class_weights = class_weights
+        self._pair_data = (train_pairs, valid_pairs, test_pairs)
+        super().__init__(args, model, train_pairs, valid_pairs, test_pairs,
+                         print_log=print_log, work_dir=work_dir)
+
+    # -- loader / loss wiring overrides --------------------------------
+    def _make_loaders(self, train_graphs, valid_graphs, test_graphs):
+        bs = int(self.args.get("batch_size", 32))
+        seed = int(self.args.get("seed", 1234))
+        nt = self.num_tasks
+        self.train_loader = PairGraphLoader(train_graphs, bs, nt,
+                                            shuffle=True, seed=seed)
+        self.valid_loader = PairGraphLoader(valid_graphs, 32, nt)
+        self.test_loader = (PairGraphLoader(test_graphs, 32, nt)
+                            if test_graphs else None)
+
+    def _make_loss(self):
+        return make_pair_loss_fn(self.task, self.args.get("loss", "bcel"),
+                                 int(self.args.get("num_classes", 1)),
+                                 self.class_weights)
+
+    def _init_variables(self, rng, sample):
+        b1, b2 = sample
+        return self.model.init(
+            {"params": rng, "dropout": jax.random.PRNGKey(1)}, b1, b2, True)
+
+    def _build_steps(self):
+        loss_fn = self.loss_fn
+        model = self.model
+
+        def train_step(state: TrainState, b1, b2, rng):
+            drop_rng = jax.random.fold_in(rng, state.step)
+
+            def compute(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    out, updates = model.apply(
+                        variables, b1, b2, False,
+                        rngs={"dropout": drop_rng},
+                        mutable=["batch_stats"])
+                    new_stats = updates.get("batch_stats",
+                                            state.batch_stats)
+                else:
+                    out = model.apply(variables, b1, b2, False,
+                                      rngs={"dropout": drop_rng})
+                    new_stats = state.batch_stats
+                return loss_fn(out, b1.y, b1.graph_mask), new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            if state.batch_stats:
+                state = state.replace(batch_stats=new_stats)
+            return state, loss
+
+        def eval_step(params, batch_stats, b1, b2):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, b1, b2, True)
+            loss = loss_fn(out, b1.y, b1.graph_mask)
+            return out, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- iteration overrides -------------------------------------------
+    def train_iterations(self, rng) -> float:
+        losses = []
+        for i, (b1, b2) in enumerate(self.train_loader):
+            self.state, loss = self._train_step(self.state, b1, b2, rng)
+            losses.append(loss)
+            if i % int(self.args.get("verbose_patience", 500)) == 0:
+                self.log("\tbatch {} training loss: {:.5f}".format(
+                    i, float(loss)), with_time=True)
+        return float(np.mean([float(l) for l in losses]))
+
+    def _gather(self, mode: str):
+        loader = {"valid": self.valid_loader, "test": self.test_loader,
+                  "inference": self.test_loader}[mode]
+        outs, ys, masks, losses = [], [], [], []
+        for b1, b2 in loader:
+            out, loss = self._eval_step(self.state.params,
+                                        self.state.batch_stats, b1, b2)
+            outs.append(np.asarray(out))
+            ys.append(np.asarray(b1.y))
+            masks.append(np.asarray(b1.graph_mask))
+            losses.append(float(loss))
+        m = np.concatenate(masks)
+        return (np.concatenate(outs)[m], np.concatenate(ys)[m],
+                float(np.mean(losses)))
+
+    def valid_iterations(self, mode: str = "valid"):
+        out, y, mean_loss = self._gather(
+            "valid" if mode == "valid" else
+            ("test" if self.test_loader else "valid"))
+        yt = y[:, 0]
+        if self.task == "pair_regression":
+            pred = out[:, 0]
+            if mode == "inference":
+                return yt, pred
+            return mean_loss, regression_metrics(yt, pred)
+        if self.task == "pair_binary_bce":
+            score = 1.0 / (1.0 + np.exp(-out[:, 0]))
+            if mode == "inference":
+                return score, yt
+            return mean_loss, binary_metrics(yt, score)
+        if self.task == "pair_multiclass":
+            logits = out
+            ex = np.exp(logits - logits.max(-1, keepdims=True))
+            prob = ex / ex.sum(-1, keepdims=True)
+            pred = logits.argmax(-1)
+            if mode == "inference":
+                return yt, pred, prob
+            return mean_loss, multi_class_metrics(yt, prob, pred)
+        # pair_binary / pair_screening: 2-logit softmax
+        ex = np.exp(out - out.max(-1, keepdims=True))
+        prob = ex / ex.sum(-1, keepdims=True)
+        score = prob[:, 1]
+        pred = out.argmax(-1)
+        if mode == "inference":
+            return yt, pred, score
+        metric_fn = (screening_metrics if self.task == "pair_screening"
+                     else binary_metrics)
+        return mean_loss, metric_fn(yt, score, pred)
+
+
+def make_ddi_trainer(args: Dict, dataset, work_dir=None,
+                     model_overrides: Optional[Dict] = None) -> PairTrainer:
+    args = dict(args)
+    nc = getattr(dataset, "num_classes", 1)
+    args["task"] = ("pair_multiclass" if nc > 2 else "pair_binary_bce")
+    args["num_classes"] = nc
+    args["num_tasks"] = 1
+    args["out_dim"] = nc if nc > 2 else 1
+    overrides = dict(model_overrides or {})
+    overrides.setdefault("mol_in_dim", dataset.num_node_features)
+    overrides.setdefault("mol_edge_in_dim", dataset.num_edge_features)
+    overrides.setdefault("out_dim", args["out_dim"])
+    _set_pair_max_nodes(overrides, dataset.train + dataset.val
+                        + dataset.test)
+    cfg = model_config_from_args(args, **overrides)
+    model = PairArchitecture(cfg, hetero=False)
+    return PairTrainer(args, model, dataset.train, dataset.val,
+                       dataset.test, work_dir=work_dir)
+
+
+def make_dti_trainer(args: Dict, dataset, task: str = "pair_binary",
+                     work_dir=None,
+                     model_overrides: Optional[Dict] = None) -> PairTrainer:
+    args = dict(args)
+    args["task"] = task
+    args["num_tasks"] = 1
+    args["out_dim"] = 1 if task == "pair_regression" else 2
+    overrides = dict(model_overrides or {})
+    overrides.setdefault("mol_in_dim", dataset.num_node_features)
+    overrides.setdefault("mol_edge_in_dim", dataset.num_edge_features)
+    overrides.setdefault("pro_in_dim", dataset.pro_num_node_features)
+    overrides.setdefault("pro_edge_in_dim", dataset.pro_num_edge_features)
+    overrides.setdefault("out_dim", args["out_dim"])
+    _set_pair_max_nodes(overrides, dataset.train + dataset.val
+                        + dataset.test, hetero=True)
+    cfg = model_config_from_args(args, **overrides)
+    model = PairArchitecture(cfg, hetero=True)
+    weights = getattr(dataset, "class_weights", None)
+    return PairTrainer(args, model, dataset.train, dataset.val,
+                       dataset.test, work_dir=work_dir,
+                       class_weights=weights)
+
+
+def _set_pair_max_nodes(overrides: Dict, pairs, hetero: bool = False):
+    m1 = max((p[0].nodes.shape[0] for p in pairs), default=1)
+    m2 = max((p[1].nodes.shape[0] for p in pairs), default=1)
+    overrides.setdefault("max_nodes", m1 if hetero else max(m1, m2))
+    overrides.setdefault("pro_max_nodes" if hetero else "max_nodes",
+                         m2 if hetero else max(m1, m2))

@@ -92,16 +92,10 @@ class Trainer:
         self.num_tasks = int(self.args.get("num_tasks", 1))
         nt = self.num_tasks
 
-        bs = int(self.args.get("batch_size", 32))
         seed = int(self.args.get("seed", 1234))
-        self.train_loader = GraphLoader(train_graphs, bs, nt, shuffle=True,
-                                        seed=seed)
-        self.valid_loader = GraphLoader(valid_graphs, 32, nt)
-        self.test_loader = (GraphLoader(test_graphs, 32, nt)
-                            if test_graphs else None)
+        self._make_loaders(train_graphs, valid_graphs, test_graphs)
 
-        loss_name = self.args.get("loss", "mse")
-        self.loss_fn = make_loss_fn(self.task, loss_name, nt)
+        self.loss_fn = self._make_loss()
         self.tx = make_optimizer(self.args.get("optim", "Adam"),
                                  float(self.args.get("lr", 1e-3)),
                                  k=int(self.args.get("k", 6)))
@@ -114,9 +108,7 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         sample = next(iter(self.valid_loader if valid_graphs
                            else self.train_loader))
-        variables = self.model.init(
-            {"params": rng, "dropout": jax.random.PRNGKey(seed + 1)},
-            sample, True)
+        variables = self._init_variables(rng, sample)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.state = TrainState.create(apply_fn=self.model.apply,
@@ -140,6 +132,25 @@ class Trainer:
                  .format(len(train_graphs), len(valid_graphs),
                          len(test_graphs) if test_graphs else 0))
         self.log("total parameters:" + str(n_params))
+
+    # -- overridable wiring hooks (PairTrainer replaces these) ----------
+    def _make_loaders(self, train_graphs, valid_graphs, test_graphs):
+        bs = int(self.args.get("batch_size", 32))
+        seed = int(self.args.get("seed", 1234))
+        nt = self.num_tasks
+        self.train_loader = GraphLoader(train_graphs, bs, nt, shuffle=True,
+                                        seed=seed)
+        self.valid_loader = GraphLoader(valid_graphs, 32, nt)
+        self.test_loader = (GraphLoader(test_graphs, 32, nt)
+                            if test_graphs else None)
+
+    def _make_loss(self):
+        return make_loss_fn(self.task, self.args.get("loss", "mse"),
+                            self.num_tasks)
+
+    def _init_variables(self, rng, sample):
+        return self.model.init(
+            {"params": rng, "dropout": jax.random.PRNGKey(1)}, sample, True)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -179,18 +190,50 @@ class Trainer:
             loss = loss_fn(out, batch.y, batch.graph_mask)
             return out, loss
 
+        def train_scan(state: TrainState, stacked: GraphBatch, rng):
+            # S stacked batches -> S optimizer steps in ONE dispatch
+            # (lax.scan); cuts host->device dispatch latency S-fold for
+            # small-molecule workloads, which are latency-bound.
+            def body(st, batch):
+                st, loss = train_step(st, batch, rng)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, stacked)
+            return state, jnp.mean(losses)
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
     def train_iterations(self, rng) -> float:
+        scan = int(self.args.get("scan_steps", 8))
         losses = []
-        for i, batch in enumerate(self.train_loader):
-            self.state, loss = self._train_step(self.state, batch, rng)
-            losses.append(loss)
-            if i % int(self.args.get("verbose_patience", 500)) == 0:
-                self.log("\tbatch {} training loss: {:.5f}".format(
-                    i, float(loss)), with_time=True)
+        pending: List[GraphBatch] = []
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == scan and scan > 1:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pending)
+                self.state, loss = self._train_scan(self.state, stacked,
+                                                    rng)
+                losses.append(loss)
+            else:
+                for b in pending:
+                    self.state, loss = self._train_step(self.state, b, rng)
+                    losses.append(loss)
+            pending.clear()
+
+        for batch in self.train_loader:
+            pending.append(batch)
+            if len(pending) == max(scan, 1):
+                flush()
+        flush()
+        if losses:
+            self.log("\tbatch 0 training loss: {:.5f}".format(
+                float(losses[0])), with_time=True)
         return float(np.mean([float(l) for l in losses]))
 
     def _gather(self, mode: str):

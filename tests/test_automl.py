@@ -1,0 +1,129 @@
+"""AutoML layer tests: sampler, summary parsing, scheduler, viz."""
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+class TestSearchSpace:
+    def test_sample_deterministic(self):
+        import random
+        from glam_tpu.automl.search_space import sample_config
+        c1, id1 = sample_config("demo", "./d", rng=random.Random(5))
+        c2, id2 = sample_config("demo", "./d", rng=random.Random(5))
+        assert c1 == c2 and id1 == id2
+        assert len(id1) == 5
+
+    def test_space_coverage(self):
+        import random
+        from glam_tpu.automl.search_space import MOL_BLOCKS, sample_config
+        r = random.Random(0)
+        seen_blocks = set()
+        for _ in range(200):
+            c, _ = sample_config("demo", "./d", rng=r)
+            seen_blocks.add(c["mol_block"])
+            assert c["loss"] == "bcel"  # classification dataset
+            if c["optim"] != "Ranger":
+                assert "k" not in c
+        assert seen_blocks == set(MOL_BLOCKS)
+
+    def test_regression_losses(self):
+        import random
+        from glam_tpu.automl.search_space import sample_config
+        r = random.Random(0)
+        losses = {sample_config("esol", "./d", rng=r)[0]["loss"]
+                  for _ in range(100)}
+        assert losses <= {"mse", "mae", "huber"}
+
+    def test_config2cmd_roundtrip(self):
+        import random
+        from glam_tpu.automl.search_space import config2cmd, sample_config
+        from glam_tpu.run import build_parser
+        c, _ = sample_config("demo", "./d", rng=random.Random(1))
+        c["note"] = "abc12"
+        argv = config2cmd(c)[2:]  # strip "-m glam_tpu.run"
+        parsed = build_parser().parse_args(argv)
+        assert parsed.dataset == "demo"
+        assert parsed.mol_block == c["mol_block"]
+        assert parsed.lr == c["lr"]
+
+
+class TestSummary:
+    def test_read_and_rank(self, tmp_path):
+        from glam_tpu.automl.summary import (read_logs, select_top_runs,
+                                             summarize_logs)
+        logs_dir = tmp_path / "log_demo"
+        for i, auc in enumerate([0.7, 0.9, 0.8]):
+            d = logs_dir / f"run{i}_seed_1"
+            d.mkdir(parents=True)
+            cfg = {"dataset": "demo", "note": f"c{i}", "epochs": 30,
+                   "seed": 1, "batch_size": 32, "mol_block": "_NNConv",
+                   "optim": "Adam", "lr": 0.001}
+            (d / "log.txt").write_text(
+                "Training start...\n"
+                f"{cfg}\n"
+                f"{{'testloss': 0.5, 'valloss': 0.4}}|"
+                f"{{'auc': {auc}}}|{{'valauc': {auc}}}\n")
+        # plus one unfinished run that must be skipped
+        bad = logs_dir / "crashed_seed_2"
+        bad.mkdir()
+        (bad / "log.txt").write_text("Training start...\nEpoch:0 ...\n")
+        logs = read_logs(logs_dir)
+        assert len(logs) == 3
+        sel = select_top_runs(logs_dir, "demo", 2)
+        assert list(sel["valauc"]) == [0.9, 0.8]
+        summary = summarize_logs(logs, "demo", logs_dir)
+        assert (logs_dir / "logs_summary.csv").exists()
+        assert summary.iloc[0]["valauc_mean"] == 0.9
+
+    def test_inf_results_skipped(self, tmp_path):
+        from glam_tpu.automl.summary import read_logs
+        d = tmp_path / "log_demo" / "r_seed_1"
+        d.mkdir(parents=True)
+        (d / "log.txt").write_text(
+            "{'dataset': 'demo'}\n"
+            "{'testloss': inf, 'valloss': 0.4}|{'auc': 0.9}|"
+            "{'valauc': 0.9}\n")
+        assert read_logs(tmp_path / "log_demo") == []
+
+
+class TestScheduler:
+    def test_slots(self):
+        from glam_tpu.automl.scheduler import DeviceManager
+        dm = DeviceManager(num_slots=2, poll_interval=0.05)
+
+        class P:
+            def __init__(self):
+                self.n = 2
+
+            def poll(self):
+                self.n -= 1
+                return None if self.n > 0 else 0
+
+        procs = [P(), P()]
+        dm.wait_free_slot(procs)  # returns once one P reports done
+        assert dm.running(procs) < 2
+
+
+class TestViz:
+    def test_layout_and_draw(self, tmp_path):
+        from glam_tpu.viz.attention import (draw_molecule,
+                                            node_weights_from_embeddings,
+                                            spring_layout)
+        from glam_tpu.chem.smiles import parse_smiles
+        mol = parse_smiles("CC(=O)Oc1ccccc1C(=O)O")
+        pos = spring_layout(mol)
+        assert pos.shape == (13, 2)
+        # bonded atoms closer on average than non-bonded
+        import numpy as np
+        d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        bonded = [(b.a, b.b) for b in mol.bonds]
+        bd = np.mean([d[a, b] for a, b in bonded])
+        assert bd < d[np.triu_indices(13, 1)].mean()
+        w = node_weights_from_embeddings(
+            np.random.RandomState(0).randn(13, 8))
+        assert w.min() >= 0 and w.max() <= 1
+        out = tmp_path / "m.png"
+        draw_molecule("CC(=O)Oc1ccccc1C(=O)O", w, path=str(out))
+        assert out.exists() and out.stat().st_size > 1000
