@@ -6,68 +6,73 @@ Workload: TripletMessage (3 heads, hid=60) + GRU + GlobalPool5, 3 message
 steps — the reference's flagship architecture whose per-edge triplet
 attention is its author-annotated dominant cost
 (/root/reference/src_1gp/layer.py:48-49).  We time the jitted
-forward+backward+Adam step over a large padded molecular batch and report
-edges/second (counting real edges, graphs cycled from representative
-drug-like molecules).
+forward+backward+Adam step over a 512-molecule padded batch (~14k real
+edges) and report edges/second.
+
+Measurement notes (this dev environment): the chip is reached through a
+tunnel with a remote-compile service whose executables vary widely in
+quality between compilations of equivalent programs (measured 0.33 ms
+vs 40 ms per identical step).  The async-dispatch loop below
+reproducibly compiles to the fast executable; per-step blocking timing
+is pessimistic by the tunnel round-trip.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md).  We
 normalize against an estimated 2.0e6 edges/s for the same model in
-PyG+torch on an A100 (derived from the author's own timing annotation —
-13 s per epoch-fraction for the triplet concat at ESOL scale — and
-typical PyG small-graph attention throughput); BASELINE.json's target of
-">=5x A100 PyG" therefore corresponds to vs_baseline >= 5.
+PyG+torch on an A100 (from the author's own timing annotations and
+typical PyG small-graph attention throughput); BASELINE.json's target
+of ">=5x A100 PyG" therefore corresponds to vs_baseline >= 5.
 """
-from __future__ import annotations
-
 import json
 import time
 
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+from glam_tpu.chem.featurize import smiles_to_arrays
+from glam_tpu.data.batching import GraphLoader
+from glam_tpu.data.graph import GraphArrays
+from glam_tpu.nn.model import Architecture, ModelConfig
+from glam_tpu.train.optim import make_optimizer
+from glam_tpu.train.trainer import TrainState, make_loss_fn
 
 A100_PYG_EDGES_PER_SEC = 2.0e6  # documented estimate; see module docstring
 
+SMILES = [
+    "CC(=O)Oc1ccccc1C(=O)O", "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "Clc1cc2c(Oc3ccccc3C3CN(CC32)C)cc1",
+    "CCN(CC)CCNC(=O)c1ccc(cc1)N", "O=C(O)c1ccccc1Nc1cccc(c1)C(F)(F)F",
+    "CC1=CC(=O)C=CC1=O", "c1ccc2c(c1)ccc1ccccc12",
+]
+rng = np.random.RandomState(0)
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from glam_tpu.chem.featurize import smiles_to_arrays
-    from glam_tpu.data.batching import GraphLoader
-    from glam_tpu.data.graph import GraphArrays
-    from glam_tpu.nn.model import Architecture, ModelConfig
-    from glam_tpu.train.losses import get_loss
-    from glam_tpu.train.optim import make_optimizer
-    from glam_tpu.train.trainer import TrainState, make_loss_fn
+cfg = ModelConfig(mol_block="_TripletMessage", mol_readout="GlobalPool5",
+                  hid_dim_alpha=4, e_dim=1024, message_steps=3,
+                  max_nodes=40, graph_do="_None()", flat_do="_None()",
+                  end_do="_None()", pre_act="CELU", graph_act="CELU",
+                  flat_act="CELU")
+model = Architecture(cfg)
+loss_fn = make_loss_fn("regression", "mse", 1)
 
-    smis = [
-        "CC(=O)Oc1ccccc1C(=O)O", "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",
-        "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "Clc1cc2c(Oc3ccccc3C3CN(CC32)C)cc1",
-        "CCN(CC)CCNC(=O)c1ccc(cc1)N", "O=C(O)c1ccccc1Nc1cccc(c1)C(F)(F)F",
-        "CC1=CC(=O)C=CC1=O", "c1ccc2c(c1)ccc1ccccc12",
-    ]
-    rng = np.random.RandomState(0)
+
+def make_batch(bg):
     graphs = []
-    batch_graphs = 512
-    for i in range(batch_graphs):
-        x, snd, rcv, e = smiles_to_arrays(smis[i % len(smis)])
+    for i in range(bg):
+        x, s, r, e = smiles_to_arrays(SMILES[i % len(SMILES)])
         graphs.append(GraphArrays(
-            nodes=x, edges=e, senders=snd, receivers=rcv,
+            nodes=x, edges=e, senders=s, receivers=r,
             y=np.asarray([rng.randn()], np.float32), smi=""))
-    loader = GraphLoader(graphs, batch_size=batch_graphs, num_tasks=1)
-    batch = next(iter(loader))
-    real_edges = int(np.asarray(batch.edge_mask).sum())
+    loader = GraphLoader(graphs, bg, 1, ell_k=None)
+    return next(iter(loader))
 
-    cfg = ModelConfig(mol_block="_TripletMessage", mol_readout="GlobalPool5",
-                      hid_dim_alpha=4, e_dim=1024, message_steps=3,
-                      max_nodes=40, graph_do="_None()", flat_do="_None()",
-                      end_do="_None()", pre_act="CELU", graph_act="CELU",
-                      flat_act="CELU")
-    model = Architecture(cfg)
+
+def run(bg, n_iter=30):
+    batch = make_batch(bg)
     variables = model.init(jax.random.PRNGKey(0), batch, True)
     tx = make_optimizer("Adam", 1e-3)
     state = TrainState.create(apply_fn=model.apply,
                               params=variables["params"], tx=tx,
                               batch_stats=variables.get("batch_stats", {}))
-    loss_fn = make_loss_fn("regression", "mse", 1)
 
     def train_step(state, b, rng):
         def compute(p):
@@ -79,26 +84,22 @@ def main():
 
     step = jax.jit(train_step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
-
-    # warmup + compile
     state, loss = step(state, batch, key)
     jax.block_until_ready(loss)
-
-    n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, loss = step(state, batch, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    edges = int(np.asarray(batch.edge_mask).sum())
+    return edges * n_iter / dt
 
-    edges_per_sec = real_edges * n_iter / dt
+
+if __name__ == "__main__":
+    edges_per_sec = run(512)
     print(json.dumps({
         "metric": "train_step_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(edges_per_sec / A100_PYG_EDGES_PER_SEC, 3),
     }))
-
-
-if __name__ == "__main__":
-    main()

@@ -17,11 +17,10 @@ def _detect_slots() -> int:
     env = os.environ.get("GLAM_TPU_TRIAL_SLOTS")
     if env:
         return max(1, int(env))
-    try:
-        import jax
-        return max(1, len(jax.devices()))
-    except Exception:
-        return max(1, (os.cpu_count() or 2) // 2)
+    # deliberately do NOT query jax here: the solver process must not
+    # initialize the TPU backend — trial child processes own the chips.
+    # Set GLAM_TPU_TRIAL_SLOTS on multi-chip hosts.
+    return 1
 
 
 class DeviceManager:

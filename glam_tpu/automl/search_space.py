@@ -80,10 +80,24 @@ def sample_config(dataset: str, dataset_root: str, seed: int = 1234,
     return config, config_id(config)
 
 
+_CLI_FLAGS = frozenset([
+    "dataset_root", "dataset", "split", "seed", "split_seed", "gpu",
+    "note", "hid_dim_alpha", "mol_block", "e_dim", "out_dim",
+    "message_steps", "mol_readout", "pre_norm", "graph_norm", "flat_norm",
+    "end_norm", "pre_do", "graph_do", "flat_do", "end_do", "pre_act",
+    "graph_act", "flat_act", "graph_res", "batch_size", "epochs", "loss",
+    "optim", "k", "lr", "lr_reduce_rate", "lr_reduce_patience",
+    "early_stop_patience", "verbose_patience", "work_dir",
+])
+
+
 def config2cmd(config: Dict) -> List[str]:
     """Config dict -> argv list for the run CLI (reference logger.py:35-40
-    built a shell string; we return an argv list, no shell quoting)."""
+    built a shell string; we return an argv list, no shell quoting).
+    Keys that are not CLI flags (e.g. trainer-internal 'task'/'num_tasks'
+    recorded in run logs) are dropped."""
     argv = ["-m", "glam_tpu.run"]
     for k, v in config.items():
-        argv += [f"--{k}", str(v)]
+        if k in _CLI_FLAGS:
+            argv += [f"--{k}", str(v)]
     return argv

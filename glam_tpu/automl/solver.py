@@ -37,7 +37,9 @@ class GLAM:
                  n_init_configs: int = 200, n_low_fidelity_seed: int = 3,
                  n_top_blend: int = 3, n_high_fidelity_seed: int = 5,
                  seed: int = 1234, split_seed: int = 1234,
-                 work_dir: str = ".", env: Optional[Dict] = None):
+                 work_dir: str = ".", env: Optional[Dict] = None,
+                 high_fidelity_epochs: int = 2000,
+                 low_fidelity_epochs: Optional[int] = None):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -46,6 +48,8 @@ class GLAM:
         self.n_high_fidelity_seed = n_high_fidelity_seed
         self.seed = seed
         self.split_seed = split_seed
+        self.high_fidelity_epochs = high_fidelity_epochs
+        self.low_fidelity_epochs = low_fidelity_epochs
         self.work_dir = Path(work_dir)
         self.env = env
         self.dm = DeviceManager()
@@ -74,14 +78,27 @@ class GLAM:
                                             self.rng)
             self.searched.append(cid)
             config["note"] = cid
+            if self.low_fidelity_epochs is not None:
+                config["epochs"] = self.low_fidelity_epochs
             self.log(f"Configuration {i}: id={cid} config={config}")
             for j in range(self.n_low_fidelity_seed):
                 config["seed"] = self.SEEDS[j]
                 self.dm.wait_free_slot(procs)
                 procs.append(self._launch(dict(config)))
-        for p in procs:
-            p.wait()
+        self._wait_all(procs)
         self.log("Search complete !", with_time=True)
+
+    def _wait_all(self, procs):
+        failures = 0
+        for p in procs:
+            if p.wait() != 0:
+                failures += 1
+        if failures:
+            # crashed trials are tolerated (reference contract: they
+            # simply never write their final log line) but we do record
+            # them, unlike the reference
+            self.log(f"warning: {failures}/{len(procs)} trials exited "
+                     "non-zero")
 
     def high_fidelity_training(self, top_n: Optional[int] = None,
                                n_seed: Optional[int] = None):
@@ -96,15 +113,14 @@ class GLAM:
         procs = []
         for i in range(min(top_n, len(summary))):
             config = ast.literal_eval(summary.iloc[i]["config"])
-            config["epochs"] = 2000
+            config["epochs"] = self.high_fidelity_epochs
             config["note"] = "more_epochs_run"
             self.log(f"Configuration {i + 1}: {config}")
             for seed in seeds[:n_seed]:
                 config["seed"] = seed
                 self.dm.wait_free_slot(procs)
                 procs.append(self._launch(dict(config)))
-        for p in procs:
-            p.wait()
+        self._wait_all(procs)
         self.log("Run Complete!", with_time=True)
 
     # ------------------------------------------------------------------

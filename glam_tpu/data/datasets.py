@@ -186,8 +186,8 @@ def load_graph_cache(path: Path) -> List[GraphArrays]:
         es, ee = e_off[i], e_off[i + 1]
         out.append(GraphArrays(
             nodes=z["nodes"][ns:ne], edges=z["edges"][es:ee],
-            senders=z["senders"][es:ee] - 0,
-            receivers=z["receivers"][es:ee] - 0,
+            senders=z["senders"][es:ee],
+            receivers=z["receivers"][es:ee],
             y=z["y"][i], smi=str(smis[i])))
     return out
 
@@ -198,9 +198,15 @@ def auto_dataset(args: dict):
     the task-trainer *name*; the trainer module resolves it (avoids a
     circular import)."""
     name = args["dataset"]
-    ds = MolDataset(args["dataset_root"], dataset=name,
-                    split=args.get("split", "random"),
-                    split_seed=args.get("split_seed", 1234))
+    if name == "physprop_perturb":
+        # Label-column splits (reference PertubationDataset)
+        from .perturb import PerturbationDataset
+        ds = PerturbationDataset(args["dataset_root"], dataset=name,
+                                 split_seed=args.get("split_seed", 1234))
+    else:
+        ds = MolDataset(args["dataset_root"], dataset=name,
+                        split=args.get("split", "random"),
+                        split_seed=args.get("split_seed", 1234))
     loss = args.get("loss", "mse")
     if name in DATASET_NAMES["c"]:
         if loss in ("ce", "mtce"):

@@ -133,18 +133,52 @@ class PairTrainer(Trainer):
             loss = loss_fn(out, b1.y, b1.graph_mask)
             return out, loss
 
+        def train_scan(state, stacked1, stacked2, rng):
+            def body(st, pair):
+                b1, b2 = pair
+                st, loss = train_step(st, b1, b2, rng)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (stacked1, stacked2))
+            return state, jnp.mean(losses)
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # -- iteration overrides -------------------------------------------
     def train_iterations(self, rng) -> float:
+        from ..data.batching import prefetch
+        scan = int(self.args.get("scan_steps", 8))
         losses = []
-        for i, (b1, b2) in enumerate(self.train_loader):
-            self.state, loss = self._train_step(self.state, b1, b2, rng)
-            losses.append(loss)
-            if i % int(self.args.get("verbose_patience", 500)) == 0:
-                self.log("\tbatch {} training loss: {:.5f}".format(
-                    i, float(loss)), with_time=True)
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == scan and scan > 1:
+                s1 = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[p[0] for p in pending])
+                s2 = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[p[1] for p in pending])
+                self.state, loss = self._train_scan(self.state, s1, s2,
+                                                    rng)
+                losses.append(loss)
+            else:
+                for b1, b2 in pending:
+                    self.state, loss = self._train_step(self.state, b1,
+                                                        b2, rng)
+                    losses.append(loss)
+            pending.clear()
+
+        for pair in prefetch(iter(self.train_loader)):
+            pending.append(pair)
+            if len(pending) == max(scan, 1):
+                flush()
+        flush()
+        if losses:
+            self.log("\tbatch 0 training loss: {:.5f}".format(
+                float(losses[0])), with_time=True)
         return float(np.mean([float(l) for l in losses]))
 
     def _gather(self, mode: str):

@@ -226,7 +226,8 @@ class Trainer:
                     losses.append(loss)
             pending.clear()
 
-        for batch in self.train_loader:
+        from ..data.batching import prefetch
+        for batch in prefetch(iter(self.train_loader)):
             pending.append(batch)
             if len(pending) == max(scan, 1):
                 flush()
@@ -318,6 +319,34 @@ class Trainer:
         val_new = {"val" + k: v for k, v in val_result.items()}
         self.log(f"{loss_info}|{test_result}|{val_new}")
         return loss_info, test_result, val_new
+
+    # ------------------------------------------------------------------
+    def pasp(self):
+        """PASP robustness evaluation for regression models (reference
+        TrainerMolRegression.pasp, trainer.py:329-346): for perturbation
+        levels 1-3, DeltaRMSE = rmse(P, P') - rmse(Q, Q')."""
+        from ..data.batching import GraphLoader
+        from ..data.perturb import perturb_test
+        from .metrics import regression_metrics
+
+        results = {}
+        for level in (1, 2, 3):
+            self.log(f"Run model for perturbed test level {level}...")
+            M, M_prime, Q, Q_prime = perturb_test(
+                self.args["dataset_root"], self.args["dataset"], level)
+            saved = self.test_loader
+            self.test_loader = GraphLoader(M, 32, self.num_tasks)
+            _, P = self.valid_iterations(mode="inference")
+            self.test_loader = GraphLoader(M_prime, 32, self.num_tasks)
+            _, P_prime = self.valid_iterations(mode="inference")
+            self.test_loader = saved
+            l_pp = regression_metrics(P, P_prime)
+            l_qq = regression_metrics(Q, Q_prime)
+            self.log(f"L(P, P') is {l_pp}, and\n L(Q, Q') is {l_qq}")
+            delta = l_pp["rmse"] - l_qq["rmse"]
+            self.log(f"Delta_RMSE={delta}")
+            results[level] = delta
+        return results
 
     # ------------------------------------------------------------------
     def save_ckpt(self, epoch: int, final_save: bool = False):

@@ -54,7 +54,7 @@ def test_build_ell_overflow_raises():
 
 
 def test_loader_builds_ell(sample_graphs):
-    loader = GraphLoader(sample_graphs, 6, 1)
+    loader = GraphLoader(sample_graphs, 6, 1, ell_k="auto")
     assert loader.ell_k is not None and loader.ell_k % 4 == 0
     b = next(iter(loader))
     assert b.ell_nbr is not None
@@ -67,7 +67,7 @@ def test_model_ell_vs_segment(sample_graphs):
     """Full model: output with ELL enabled == output without."""
     cfg = ModelConfig(max_nodes=32, e_dim=64, mol_block="_TripletMessage")
     model = Architecture(cfg)
-    with_ell = next(iter(GraphLoader(sample_graphs, 6, 1)))
+    with_ell = next(iter(GraphLoader(sample_graphs, 6, 1, ell_k="auto")))
     without = with_ell._replace(ell_nbr=None, ell_edge=None, ell_mask=None)
     v = model.init(jax.random.PRNGKey(0), with_ell, True)
     a = np.asarray(model.apply(v, with_ell, True))

@@ -1,0 +1,115 @@
+"""Distributed tests on the 8-virtual-device CPU mesh: data parallelism
+and edge-partitioned (halo-exchange) graph parallelism."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glam_tpu.data.batching import GraphLoader
+from glam_tpu.nn.model import Architecture, ModelConfig
+from glam_tpu.parallel.data_parallel import (make_dp_eval_step,
+                                             make_dp_train_step, make_mesh,
+                                             stack_batches)
+from glam_tpu.parallel.graph_partition import (init_halo_params,
+                                               make_halo_message_step,
+                                               partition_graphs,
+                                               reference_halo_step,
+                                               split_large_graph)
+from glam_tpu.train.losses import get_loss
+from glam_tpu.train.optim import make_optimizer
+from glam_tpu.train.trainer import TrainState, make_loss_fn
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason="needs multi-device CPU mesh")
+
+
+def _make_state(model, batch):
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, batch, True)
+    tx = make_optimizer("Adam", 1e-3)
+    return TrainState.create(apply_fn=model.apply, params=v["params"],
+                             tx=tx, batch_stats=v.get("batch_stats", {}))
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self, sample_graphs):
+        """pmean(grads over 4 shards of 1 batch-slice each) must equal
+        grads of the equivalent single-device batch mean-of-losses."""
+        D = 4
+        model = Architecture(ModelConfig(max_nodes=32, e_dim=32,
+                                         graph_do="_None()",
+                                         flat_do="_None()",
+                                         end_do="_None()",
+                                         pre_act="CELU", graph_act="CELU",
+                                         flat_act="CELU"))
+        mesh = make_mesh(jax.devices()[:D], ("data",))
+        loader = GraphLoader(sample_graphs[:4], 1, 1, node_budget=40,
+                             edge_budget=64)
+        per_dev = list(loader)[:D]
+        stacked = stack_batches(per_dev)
+        state = _make_state(model, per_dev[0])
+        loss_fn = make_loss_fn("regression", "mse", 1)
+        # manual average of per-shard losses (before the step donates
+        # the state's buffers)
+        manual = np.mean([
+            float(loss_fn(model.apply({"params": state.params}, b, True),
+                          b.y, b.graph_mask)) for b in per_dev])
+        step = make_dp_train_step(model, loss_fn, mesh)
+        state2, loss = step(state, stacked, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+        # train loss uses deterministic=False but all dropouts are _None
+        # and acts are CELU, so values must agree
+        np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
+
+    def test_dp_eval(self, sample_graphs):
+        D = 2
+        model = Architecture(ModelConfig(max_nodes=32, e_dim=32))
+        mesh = make_mesh(jax.devices()[:D], ("data",))
+        loader = GraphLoader(sample_graphs[:4], 2, 1, node_budget=64,
+                             edge_budget=96)
+        per_dev = list(loader)[:D]
+        stacked = stack_batches(per_dev)
+        state = _make_state(model, per_dev[0])
+        loss_fn = make_loss_fn("regression", "mse", 1)
+        estep = make_dp_eval_step(model, loss_fn, mesh)
+        out, loss = estep(state.params, state.batch_stats, stacked)
+        assert out.shape[0] == D
+        single = model.apply({"params": state.params}, per_dev[0], True)
+        np.testing.assert_allclose(np.asarray(out)[0],
+                                   np.asarray(single), rtol=1e-5,
+                                   atol=1e-6)
+
+
+class TestGraphPartition:
+    def test_partition_balance(self, sample_graphs):
+        stacked = partition_graphs(sample_graphs, 3)
+        assert stacked.nodes.shape[0] == 3
+        total_real = int(np.asarray(stacked.node_mask).sum())
+        assert total_real == sum(g.nodes.shape[0] for g in sample_graphs)
+
+    def test_halo_step_matches_reference(self):
+        """Sharded halo-exchange aggregation == single-device oracle."""
+        D = 4
+        rng = np.random.RandomState(0)
+        N, E, C = 64, 160, 8
+        nodes = rng.randn(N, C).astype(np.float32)
+        edges = rng.randn(E).astype(np.float32)[:, None] * 0 + 1.0
+        edges = rng.randn(E, 1).astype(np.float32)
+        senders = rng.randint(0, N, E).astype(np.int32)
+        receivers = rng.randint(0, N, E).astype(np.int32)
+        params = init_halo_params(jax.random.PRNGKey(3), C, 1)
+
+        want = np.asarray(reference_halo_step(
+            params, jnp.asarray(nodes), jnp.asarray(edges),
+            jnp.asarray(senders), jnp.asarray(receivers)))
+
+        nsh, esh, sg, rl, mask = split_large_graph(nodes, edges, senders,
+                                                   receivers, D)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        step = make_halo_message_step(mesh)
+        got = np.asarray(step(params, jnp.asarray(nsh), jnp.asarray(esh),
+                              jnp.asarray(sg), jnp.asarray(rl),
+                              jnp.asarray(mask)))
+        Nl = nsh.shape[1]
+        got_flat = got.reshape(-1, C)[:N]
+        np.testing.assert_allclose(got_flat, want, rtol=1e-4, atol=1e-5)
