@@ -85,7 +85,8 @@ class GraphLoader:
                  num_tasks: int, shuffle: bool = False, seed: int = 0,
                  node_budget: Optional[int] = None,
                  edge_budget: Optional[int] = None,
-                 ell_k: Optional[int] = None):
+                 ell_k: Optional[int] = None,
+                 pallas_pack: bool = False):
         self.graphs = list(graphs)
         self.batch_size = batch_size
         self.num_tasks = num_tasks
@@ -100,6 +101,7 @@ class GraphLoader:
             ell_k = _round_up(max_in_degree(self.graphs), 4) \
                 if self.graphs else None
         self.ell_k = ell_k
+        self.pallas_pack = pallas_pack
         if node_budget is None or edge_budget is None:
             # worst-case budget: batch_size largest graphs (covers any
             # shuffle order)
@@ -127,7 +129,8 @@ class GraphLoader:
             chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
             yield pad_graphs(chunk, self.batch_size, self.node_budget,
                              self.edge_budget, self.num_tasks,
-                             ell_k=self.ell_k)
+                             ell_k=self.ell_k,
+                             pallas_pack=self.pallas_pack)
 
 
 class PairGraphLoader:

@@ -54,6 +54,12 @@ class GraphBatch(NamedTuple):
     ell_nbr: Optional[jnp.ndarray] = None    # [N, K] int32 source node idx
     ell_edge: Optional[jnp.ndarray] = None   # [N, K] int32 edge idx
     ell_mask: Optional[jnp.ndarray] = None   # [N, K] bool real-edge slots
+    # Pallas block-packing (ops/pallas/segment_mxu.py): receiver-sorted
+    # edge blocks for the fused softmax+SpMM kernel.  None => XLA path.
+    pack_perm: Optional[jnp.ndarray] = None   # [Ep] int32 edge permutation
+    pack_local: Optional[jnp.ndarray] = None  # [Ep] int32 local receiver
+    pack_start: Optional[jnp.ndarray] = None  # [nblk] int32 window starts
+    pack_mask: Optional[jnp.ndarray] = None   # [Ep] bool real-edge slots
 
     @property
     def num_nodes(self) -> int:
@@ -119,6 +125,7 @@ def pad_graphs(
     num_edges: int,
     num_tasks: Optional[int] = None,
     ell_k: Optional[int] = None,
+    pallas_pack: bool = False,
 ) -> GraphBatch:
     """Pack ``graphs`` into one static-shape :class:`GraphBatch`.
 
@@ -177,6 +184,13 @@ def pad_graphs(
     graph_mask = np.zeros((G,), bool)
     graph_mask[:g_real] = True
 
+    pk = (None,) * 4
+    if pallas_pack:
+        from ..ops.pallas.segment_mxu import pack_blocks
+        perm, local, starts, pmask = pack_blocks(receivers, num_nodes)
+        pk = (jnp.asarray(perm.astype(np.int32)), jnp.asarray(local),
+              jnp.asarray(starts), jnp.asarray(pmask))
+
     ell_nbr = ell_edge = ell_mask = None
     if ell_k is not None:
         # only real edges participate; padded edges (sender=receiver=last
@@ -194,4 +208,5 @@ def pad_graphs(
         n_node=jnp.asarray(n_node), node_mask=jnp.asarray(node_mask),
         edge_mask=jnp.asarray(edge_mask), graph_mask=jnp.asarray(graph_mask),
         y=jnp.asarray(y), ell_nbr=ell_nbr, ell_edge=ell_edge,
-        ell_mask=ell_mask)
+        ell_mask=ell_mask, pack_perm=pk[0], pack_local=pk[1],
+        pack_start=pk[2], pack_mask=pk[3])

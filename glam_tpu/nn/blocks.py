@@ -106,7 +106,7 @@ class MessageBlock(nn.Module):
     @nn.compact
     def __call__(self, x, edge_attr, senders, receivers, h=None, *,
                  node_graph=None, n_node=None, node_mask=None, ell=None,
-                 deterministic: bool = True):
+                 pack=None, deterministic: bool = True):
         rate = parse_dropout(self.dropout)
         identity = x
         if h is None:
@@ -116,8 +116,13 @@ class MessageBlock(nn.Module):
             use_running_average=deterministic)
         if rate > 0.0:
             y = nn.Dropout(rate=rate, deterministic=deterministic)(y)
-        y = get_conv(self.conv, self.in_dim, self.out_dim, self.edge_dim)(
-            y, edge_attr, senders, receivers, ell=ell)
+        conv_mod = get_conv(self.conv, self.in_dim, self.out_dim,
+                            self.edge_dim)
+        if self.conv.strip() == "_TripletMessage":
+            y = conv_mod(y, edge_attr, senders, receivers, ell=ell,
+                         pack=pack)
+        else:
+            y = conv_mod(y, edge_attr, senders, receivers, ell=ell)
         if self.has_gru:
             y = get_activation("CELU")(y)
             y = GRUCell(in_dim=self.in_dim, hidden=self.out_dim,

@@ -61,7 +61,8 @@ class TripletMessage(nn.Module):
     negative_slope: float = 0.2
 
     @nn.compact
-    def __call__(self, x, edge_attr, senders, receivers, ell=None):
+    def __call__(self, x, edge_attr, senders, receivers, ell=None,
+                 pack=None):
         C, H = self.channels, self.heads
         wn = self.param("weight_node", kaiming_uniform(0), (C, H * C))
         we = self.param("weight_edge", kaiming_uniform(0),
@@ -83,7 +84,17 @@ class TripletMessage(nn.Module):
         a_i = jnp.einsum("nhc,hc->nh", xh, w_i)   # [N, H]
         a_j = jnp.einsum("nhc,hc->nh", xh, w_j)   # [N, H]
         a_e = jnp.einsum("ehc,hc->eh", eh, w_e)   # [E, H]
-        if ell is not None:
+        if pack is not None:
+            # fused Pallas block softmax+SpMM (ops/pallas/segment_mxu)
+            from ..ops.pallas.segment_mxu import fused_segment_softmax_spmm
+            logits = _leaky_relu(a_i[receivers] + a_e + a_j[senders],
+                                 self.negative_slope)      # [E, H]
+            values = (eh * xh[senders]).reshape(-1, H * C)
+            perm, local, starts, pmask = pack
+            aggr = fused_segment_softmax_spmm(
+                logits, values, perm, local, starts, pmask, x.shape[0],
+                H, C)
+        elif ell is not None:
             nbr, eid, mask = ell                  # [N, K]
             logits = _leaky_relu(
                 a_i[:, None, :] + a_e[eid] + a_j[nbr],

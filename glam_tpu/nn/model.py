@@ -92,12 +92,14 @@ class _Tower(nn.Module):
                             res=c.graph_res, name="conv")
         ell = ((g.ell_nbr, g.ell_edge, g.ell_mask)
                if g.ell_nbr is not None else None)
+        pack = ((g.pack_perm, g.pack_local, g.pack_start, g.pack_mask)
+                if g.pack_perm is not None else None)
         h = None
         xs = []
         for _ in range(self.message_steps):
             x, h = conv(x, g.edges, g.senders, g.receivers, h,
                         node_graph=g.node_graph, n_node=g.n_node,
-                        node_mask=g.node_mask, ell=ell,
+                        node_mask=g.node_mask, ell=ell, pack=pack,
                         deterministic=deterministic)
             xs.append(x)
         readout, mult = get_readout(self.readout, self.hid_dim,

@@ -24,7 +24,7 @@ compiled on the real chip.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,36 +105,53 @@ def _kernel(starts_ref, logits_ref, values_ref, local_ref, mask_ref,
     lg = logits_ref[...]                       # [E_BLOCK, H]
     vals = values_ref[...]                     # [E_BLOCK, H*C]
     local = local_ref[...]                     # [E_BLOCK, 1] int32
-    emask = mask_ref[...]                      # [E_BLOCK, 1] bool
+    emaskf = mask_ref[...]                     # [E_BLOCK, 1] float32 0/1
     eb = lg.shape[0]
 
-    # scatter matrix: sm[w, e] = 1 iff local[e] == w and edge real
+    # scatter matrix: sm[w, e] = 1 iff local[e] == w and edge real.
+    # All per-receiver reductions AND the gathers back to edges are
+    # expressed through this one-hot matrix on the MXU — Mosaic has no
+    # general gather, and one-hot matmul is the fast path anyway.
     w_ids = jax.lax.broadcasted_iota(jnp.int32, (W_BLOCK, eb), 0)
-    sm = (w_ids == local[:, 0][None, :]) & emask[:, 0][None, :]
-    smf = sm.astype(jnp.float32)               # [W, E]
+    onehot = (w_ids == local[:, 0][None, :]).astype(jnp.float32)
+    smf = onehot * emaskf[:, 0][None, :]       # [W, E] f32 0/1
 
-    # segment softmax via two scatter-matmuls (max via masked trick):
-    # per-receiver max: use exp-free stabilization with a matmul-max —
-    # MXU has no max-matmul, so compute max by (W,E) masked select +
-    # row-reduce on the VPU.
-    neg_inf = jnp.float32(-1e30)
-    lg_masked = jnp.where(emask, lg, neg_inf)  # [E, H]
-    # per-window-row max over matching edges: [W, H]
-    per_w = jnp.where(sm[:, :, None], lg_masked[None, :, :], neg_inf)
-    wmax = jnp.max(per_w, axis=1)              # [W, H]
-    wmax = jnp.where(wmax > neg_inf / 2, wmax, 0.0)
-    shifted = lg_masked - jnp.take_along_axis(
-        wmax, jnp.clip(local, 0, W_BLOCK - 1), axis=0)     # [E, H]
-    ex = jnp.where(emask, jnp.exp(shifted), 0.0)           # [E, H]
-    denom = jnp.dot(smf, ex, preferred_element_type=jnp.float32)  # [W, H]
+    # per-receiver max without boolean-minor-dim broadcasts (Mosaic
+    # restriction): shift logits positive, mask by multiplying with the
+    # one-hot scatter matrix, reduce per head (H is tiny/static).
+    lmin = jnp.min(lg)                          # block-wide lower bound
+    pos = (lg - lmin + 1.0) * emaskf            # >=1 valid, 0 padded
+    wmax_cols = []
+    for h in range(num_heads):
+        per_w = smf * pos[:, h][None, :]        # [W, E]
+        wmax_cols.append(jnp.max(per_w, axis=1, keepdims=True))
+    wmax = jnp.concatenate(wmax_cols, axis=1) + (lmin - 1.0)  # [W, H]
+    # gather wmax back to edges: smf.T @ wmax  (one-hot matmul gather)
+    edge_max = jnp.dot(smf.T, wmax, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    shifted = lg - edge_max                                  # [E, H]
+    ex = jnp.exp(shifted) * emaskf                           # [E, H]
+    denom = jnp.dot(smf, ex, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [W, H]
     inv = 1.0 / (denom + 1e-16)
-    alpha = ex * jnp.take_along_axis(inv, jnp.clip(local, 0, W_BLOCK - 1),
-                                     axis=0)               # [E, H]
-    # expand per-head alpha across channels (head-major columns)
-    alpha_full = jnp.repeat(alpha, channels, axis=1)        # [E, H*C]
+    edge_inv = jnp.dot(smf.T, inv, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    alpha = ex * edge_inv                                   # [E, H]
+    # expand per-head alpha across channels (head-major columns) with a
+    # static 0/1 expander matmul — Mosaic supports neither jnp.repeat
+    # nor (E, H*C) -> (E, H, C) shape casts
+    col = jax.lax.broadcasted_iota(jnp.int32,
+                                   (num_heads, num_heads * channels), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32,
+                                   (num_heads, num_heads * channels), 0)
+    expander = (col // channels == row).astype(jnp.float32)  # [H, H*C]
+    alpha_full = jnp.dot(alpha, expander,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [E, H*C]
     weighted = alpha_full * vals
     out_ref[...] = jnp.dot(smf, weighted,
-                           preferred_element_type=jnp.float32)  # [W, H*C]
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [W, H*C]
 
 
 def fused_segment_softmax_spmm(logits: jnp.ndarray, values: jnp.ndarray,
@@ -142,7 +159,8 @@ def fused_segment_softmax_spmm(logits: jnp.ndarray, values: jnp.ndarray,
                                win_start: jnp.ndarray,
                                edge_mask: jnp.ndarray, num_nodes: int,
                                num_heads: int, channels: int,
-                               interpret: bool = False) -> jnp.ndarray:
+                               interpret: Optional[bool] = None
+                               ) -> jnp.ndarray:
     """alpha=segment_softmax(logits); out=scatter_add(alpha*values).
 
     logits [E, H], values [E, H*C] in ORIGINAL edge order; packing
@@ -151,11 +169,15 @@ def fused_segment_softmax_spmm(logits: jnp.ndarray, values: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:
+        # TPU kernels can't run on the CPU backend; fall back to the
+        # interpreter there (tests / debugging)
+        interpret = jax.default_backend() == "cpu"
     nblk = win_start.shape[0]
     lg = logits[perm].reshape(nblk, E_BLOCK, num_heads)
     vals = values[perm].reshape(nblk, E_BLOCK, num_heads * channels)
     local = local_rcv.reshape(nblk, E_BLOCK, 1)
-    mask = edge_mask.reshape(nblk, E_BLOCK, 1)
+    mask = edge_mask.astype(jnp.float32).reshape(nblk, E_BLOCK, 1)
 
     kernel = functools.partial(_kernel, num_heads=num_heads,
                                channels=channels)

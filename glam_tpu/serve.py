@@ -1,0 +1,157 @@
+"""Inference/serving API: load a trained checkpoint, predict from SMILES.
+
+The reference has no serving story beyond re-instantiating a Trainer
+(trainer.py:349-384); this module provides the production path the
+framework is meant to ship with:
+
+    pred = Predictor.from_checkpoint("log_demo/<run_id>")
+    scores = pred.predict_smiles(["CCO", "c1ccccc1"])
+
+or an ensemble over several runs:
+
+    ens = EnsemblePredictor.from_runs("log_demo", n=3)
+
+Batches are padded to the checkpointed budgets so repeated calls reuse
+one compiled executable.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+from flax import serialization
+
+from .chem.featurize import FeaturizeError, smiles_to_arrays
+from .data.batching import GraphLoader
+from .data.graph import GraphArrays
+from .nn.model import Architecture, model_config_from_args
+
+
+class Predictor:
+    """Single-model predictor over molecular SMILES."""
+
+    def __init__(self, model, params, batch_stats, args: Dict,
+                 batch_size: int = 32):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.args = args
+        self.batch_size = batch_size
+        self.task = args.get("task", "regression")
+        self.num_tasks = int(args.get("num_tasks", 1))
+
+        def forward(params, batch_stats, batch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            return model.apply(variables, batch, True)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, run_dir, which: str = "best_save.ckpt",
+                        batch_size: int = 32) -> "Predictor":
+        run_dir = Path(run_dir)
+        with open(run_dir / which, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        args = json.loads(payload["args"])
+        if "model_cfg" in args:
+            from .nn.model import ModelConfig
+            cfg = ModelConfig(**args["model_cfg"])
+        else:
+            cfg = model_config_from_args(
+                args, out_dim=args.get("out_dim", 1))
+        model = Architecture(cfg)
+        # materialize the param structure, then restore bytes into it
+        dummy = _dummy_batch(cfg)
+        variables = model.init(jax.random.PRNGKey(0), dummy, True)
+        params = serialization.from_bytes(variables["params"],
+                                          payload["params"])
+        stats = serialization.from_bytes(
+            variables.get("batch_stats", {}), payload["batch_stats"])
+        return cls(model, params, stats, args, batch_size)
+
+    def predict_smiles(self, smiles: Sequence[str]) -> np.ndarray:
+        """Returns [N, out] predictions (logits for classification,
+        values for regression); unparseable SMILES yield NaN rows."""
+        graphs: List[Optional[GraphArrays]] = []
+        for smi in smiles:
+            try:
+                x, snd, rcv, e = smiles_to_arrays(smi)
+                graphs.append(GraphArrays(
+                    nodes=x, edges=e, senders=snd, receivers=rcv,
+                    y=np.zeros(self.num_tasks, np.float32), smi=smi))
+            except (FeaturizeError, Exception):
+                graphs.append(None)
+        valid = [g for g in graphs if g is not None]
+        outs = []
+        if valid:
+            loader = GraphLoader(valid, self.batch_size, self.num_tasks)
+            for batch in loader:
+                out = np.asarray(self._forward(self.params,
+                                               self.batch_stats, batch))
+                outs.append(out[np.asarray(batch.graph_mask)])
+            preds = np.concatenate(outs, axis=0)
+        else:
+            preds = np.zeros((0, 1), np.float32)
+        width = preds.shape[1] if preds.size else 1
+        full = np.full((len(smiles), width), np.nan, np.float32)
+        vi = 0
+        for i, g in enumerate(graphs):
+            if g is not None:
+                full[i] = preds[vi]
+                vi += 1
+        return full
+
+    def predict_scores(self, smiles: Sequence[str]) -> np.ndarray:
+        """Probability scores for classification tasks (sigmoid/softmax
+        applied per the trained head)."""
+        out = self.predict_smiles(smiles)
+        if self.task == "binary_nan_bce":
+            return 1.0 / (1.0 + np.exp(-out))
+        if self.task == "binary_nan":
+            logits = out.reshape(out.shape[0], self.num_tasks, 2)
+            ex = np.exp(logits - logits.max(-1, keepdims=True))
+            return (ex / ex.sum(-1, keepdims=True))[..., 1]
+        return out
+
+
+def _dummy_batch(cfg):
+    g = GraphArrays(nodes=np.zeros((2, cfg.mol_in_dim), np.float32),
+                    edges=np.zeros((2, cfg.mol_edge_in_dim), np.float32),
+                    senders=np.asarray([0, 1], np.int32),
+                    receivers=np.asarray([1, 0], np.int32),
+                    y=np.zeros(1, np.float32))
+    return next(iter(GraphLoader([g], 1, 1)))
+
+
+class EnsemblePredictor:
+    """Mean-score ensemble over several run checkpoints (reference
+    blending semantics, metrics.py:153-186)."""
+
+    def __init__(self, predictors: List[Predictor]):
+        if not predictors:
+            raise ValueError("no predictors")
+        self.predictors = predictors
+
+    @classmethod
+    def from_runs(cls, logs_dir, n: int = 3,
+                  dataset: Optional[str] = None) -> "EnsemblePredictor":
+        from .automl.summary import select_top_runs
+        logs_dir = Path(logs_dir)
+        ds = dataset or logs_dir.name.replace("log_", "")
+        sel = select_top_runs(logs_dir, ds, n)
+        preds = [Predictor.from_checkpoint(logs_dir / rid)
+                 for rid in sel["id"]]
+        return cls(preds)
+
+    def predict_scores(self, smiles: Sequence[str]) -> np.ndarray:
+        return np.mean([p.predict_scores(smiles)
+                        for p in self.predictors], axis=0)
+
+    def predict_smiles(self, smiles: Sequence[str]) -> np.ndarray:
+        return np.mean([p.predict_smiles(smiles)
+                        for p in self.predictors], axis=0)

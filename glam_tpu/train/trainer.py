@@ -318,7 +318,32 @@ class Trainer:
         loss_info = {"testloss": float(test_loss), "valloss": float(val_loss)}
         val_new = {"val" + k: v for k, v in val_result.items()}
         self.log(f"{loss_info}|{test_result}|{val_new}")
+        self._write_structured_result(loss_info, test_result, val_new)
         return loss_info, test_result, val_new
+
+    def _write_structured_result(self, loss_info, test_result, val_new):
+        """Structured artifacts (SURVEY.md §5: same artifacts as the
+        reference but as JSON, no eval-parsing needed): result.json in
+        the run dir + an appended record in <work_dir>/results.jsonl."""
+        record = {
+            "run_id": self.run_id,
+            "dataset": self.args.get("dataset"),
+            "note": self.args.get("note"),
+            "seed": self.args.get("seed"),
+            "config": {k: v for k, v in self.args.items()
+                       if k != "model_cfg"},
+            "loss": loss_info,
+            "test": test_result,
+            "val": val_new,
+            "epochs_run": len(self.records["val_losses"]),
+        }
+        try:
+            with open(self.log_save_dir / "result.json", "w") as f:
+                json.dump(record, f, indent=1)
+            with open(self.log_save_dir.parent / "results.jsonl", "a") as f:
+                f.write(json.dumps(record) + "\n")
+        except OSError:
+            pass
 
     # ------------------------------------------------------------------
     def pasp(self):
@@ -409,6 +434,8 @@ def make_trainer(args: Dict, dataset, trainer_kind: str,
     overrides.setdefault("mol_edge_in_dim", dataset.num_edge_features)
     overrides.setdefault("out_dim", args.get("out_dim", 1))
     cfg = model_config_from_args(args, **overrides)
+    import dataclasses
+    args["model_cfg"] = dataclasses.asdict(cfg)  # self-describing ckpts
     model = Architecture(cfg)
     return Trainer(args, model, dataset.train, dataset.val, dataset.test,
                    work_dir=work_dir)

@@ -139,3 +139,45 @@ class TestDTI:
         ds = BindingDBDataset(str(dti_root))
         assert ds.skipped_proteins >= 1
         assert len(ds.train) == 20
+
+
+@pytest.fixture(scope="module")
+def litpcba_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("litpcba")
+    base = root / "raw" / "lit_pcba" / "ALDH1"
+    base.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    actives = ["CCO", "CCN", "CCS", "CC=O", "CO", "CN", "CCCO", "CCCN",
+               "OCCO", "NCCN", "OCCN", "SCCS"]
+    inactives = ["CCC", "CCCC", "c1ccccc1", "CC(C)C", "CCOC", "CCCl"] * 4
+    base.joinpath("actives.smi").write_text(
+        "\n".join(f"{s} A{i}" for i, s in enumerate(actives)))
+    base.joinpath("inactives.smi").write_text(
+        "\n".join(f"{s} I{i}" for i, s in enumerate(inactives)))
+    base.joinpath("ALDH1.seq").write_text("ACDEFGHIKLMNPQRSTVWY")
+    return root
+
+
+class TestLITPCBA:
+    def test_dataset(self, litpcba_root):
+        from glam_tpu.data.pair_datasets import LITPCBADataset
+        ds = LITPCBADataset(str(litpcba_root), target="ALDH1")
+        n = len(ds.train) + len(ds.val)
+        assert n == 36
+        assert ds.test == ds.val            # V-set doubles as test
+        assert ds.class_weights.shape == (2,)
+        assert ds.class_weights[1] > ds.class_weights[0]  # actives rarer
+        assert ds.pro_num_node_features == 49
+
+    def test_screening_training(self, litpcba_root, tmp_path):
+        from glam_tpu.data.pair_datasets import LITPCBADataset
+        from glam_tpu.train.pair_trainer import make_dti_trainer
+        ds = LITPCBADataset(str(litpcba_root), target="ALDH1")
+        args = {"dataset": "lit_aldh1", "epochs": 1, "batch_size": 8,
+                "e_dim": 32, "hid_dim_alpha": 2, "message_steps": 1,
+                "seed": 1, "loss": "wce", "pro_block": "_GCNConv"}
+        tr = make_dti_trainer(args, ds, task="pair_screening",
+                              work_dir=str(tmp_path))
+        loss_info, test_result, _ = tr.train_and_test()
+        assert np.isfinite(loss_info["valloss"])
+        assert "bedroc" in test_result and "ef_005" in test_result

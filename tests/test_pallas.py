@@ -82,3 +82,21 @@ class TestFusedKernel:
             N, 1, 8, interpret=True))
         assert (out[2:] == 0).all()
         np.testing.assert_allclose(out[1], 1.0, rtol=1e-6)
+
+
+class TestConvIntegration:
+    def test_triplet_pack_path_matches_segment(self, sample_graphs):
+        """Full TripletMessage model via the Pallas pack path == XLA."""
+        from glam_tpu.data.batching import GraphLoader
+        from glam_tpu.nn.model import Architecture, ModelConfig
+        cfg = ModelConfig(max_nodes=32, e_dim=64,
+                          mol_block="_TripletMessage")
+        model = Architecture(cfg)
+        packed = next(iter(GraphLoader(sample_graphs, 6, 1,
+                                       pallas_pack=True)))
+        plain = packed._replace(pack_perm=None, pack_local=None,
+                                pack_start=None, pack_mask=None)
+        v = model.init(jax.random.PRNGKey(0), plain, True)
+        a = np.asarray(model.apply(v, plain, True))
+        b = np.asarray(model.apply(v, packed, True))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
