@@ -39,6 +39,14 @@ def load_library() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.glam_featurize2.restype = ctypes.c_int
+    lib.glam_featurize2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.glam_build_ell.restype = ctypes.c_int
     lib.glam_build_ell.argtypes = [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -55,13 +63,34 @@ def available() -> bool:
     return load_library() is not None
 
 
+_CAP_ATOMS = 1024
+_CAP_EDGES = 4096
+
+
 def smiles_to_arrays_native(smiles: str
                             ) -> Tuple[np.ndarray, np.ndarray,
                                        np.ndarray, np.ndarray]:
-    """Native (x, senders, receivers, edge_attr); raises on failure."""
+    """Native (x, senders, receivers, edge_attr); raises on failure.
+    Single parse via glam_featurize2 with capacity buffers; falls back
+    to the two-call path for molecules beyond the capacity."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("glam_native not built; run native/build.sh")
+    if hasattr(lib, "glam_featurize2"):
+        x = np.empty((_CAP_ATOMS, 15), np.float32)
+        snd = np.empty((_CAP_EDGES,), np.int32)
+        rcv = np.empty((_CAP_EDGES,), np.int32)
+        attr = np.empty((_CAP_EDGES, 4), np.float32)
+        n, e = ctypes.c_int(), ctypes.c_int()
+        rc = lib.glam_featurize2(smiles.encode(), _CAP_ATOMS, _CAP_EDGES,
+                                 x, snd, rcv, attr, ctypes.byref(n),
+                                 ctypes.byref(e))
+        if rc == 0:
+            return (x[:n.value].copy(), snd[:e.value].copy(),
+                    rcv[:e.value].copy(), attr[:e.value].copy())
+        if rc == -1:
+            raise ValueError(f"native parse failed: {smiles!r}")
+        # rc == -2: fall through to exact-size two-call path
     na, ne = ctypes.c_int(), ctypes.c_int()
     if lib.glam_smiles_sizes(smiles.encode(), ctypes.byref(na),
                              ctypes.byref(ne)) != 0:

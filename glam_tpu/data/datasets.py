@@ -178,17 +178,19 @@ def save_graph_cache(path: Path, graphs: Sequence[GraphArrays]) -> None:
 
 def load_graph_cache(path: Path) -> List[GraphArrays]:
     z = np.load(path, allow_pickle=False)
-    n_off, e_off = z["n_off"], z["e_off"]
-    smis = z["smi"]
+    # materialize each array ONCE — indexing the NpzFile re-decompresses
+    # the full array on every access
+    nodes, edges = z["nodes"], z["edges"]
+    senders, receivers = z["senders"], z["receivers"]
+    n_off, e_off, ys, smis = z["n_off"], z["e_off"], z["y"], z["smi"]
     out = []
     for i in range(len(n_off) - 1):
         ns, ne = n_off[i], n_off[i + 1]
         es, ee = e_off[i], e_off[i + 1]
         out.append(GraphArrays(
-            nodes=z["nodes"][ns:ne], edges=z["edges"][es:ee],
-            senders=z["senders"][es:ee],
-            receivers=z["receivers"][es:ee],
-            y=z["y"][i], smi=str(smis[i])))
+            nodes=nodes[ns:ne], edges=edges[es:ee],
+            senders=senders[es:ee], receivers=receivers[es:ee],
+            y=ys[i], smi=str(smis[i])))
     return out
 
 

@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=1234, type=int)
     p.add_argument("--split_seed", default=1234, type=int)
     p.add_argument("--work_dir", default=".", type=str)
+    p.add_argument("--high_fidelity_epochs", default=2000, type=int)
+    p.add_argument("--low_fidelity_epochs", default=None, type=int,
+                   help="override the sampled 30-epoch search budget")
     return p
 
 
@@ -37,7 +40,9 @@ def main(argv=None):
         n_top_blend=args.n_top_blend,
         n_high_fidelity_seed=args.n_high_fidelity_seed,
         seed=args.seed, split_seed=args.split_seed,
-        work_dir=args.work_dir)
+        work_dir=args.work_dir,
+        high_fidelity_epochs=args.high_fidelity_epochs,
+        low_fidelity_epochs=args.low_fidelity_epochs)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver

@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_reduce_patience", default=20, type=int)
     p.add_argument("--early_stop_patience", default=50, type=int)
     p.add_argument("--verbose_patience", default=500, type=int)
+    p.add_argument("--scan_steps", default=8, type=int,
+                   help="optimizer steps fused per device dispatch")
     p.add_argument("--work_dir", default=None, type=str,
                    help="where log_{dataset}/ run dirs are created")
     return p

@@ -533,6 +533,59 @@ int glam_featurize(const char* smiles, float* x /* [n,15] */,
   }
 }
 
+// Single-parse variant: caller passes capacity-sized buffers; actual
+// counts are returned through out_n/out_e.  Returns 0 ok, -1 parse
+// error, -2 capacity exceeded.
+int glam_featurize2(const char* smiles, int cap_atoms, int cap_edges,
+                    float* x, int32_t* senders, int32_t* receivers,
+                    float* edge_attr, int* out_n, int* out_e) {
+  try {
+    Mol mol = parse_smiles(smiles);
+    int n = (int)mol.atoms.size();
+    int e2 = 2 * (int)mol.bonds.size();
+    if (n == 0) return -1;
+    if (n > cap_atoms || e2 > cap_edges) return -2;
+    *out_n = n;
+    *out_e = e2;
+    std::memset(x, 0, sizeof(float) * n * 15);
+    for (int i = 0; i < n; i++) {
+      const Atom& a = mol.atoms[i];
+      for (int k = 0; k < 9; k++)
+        if (a.symbol == kAtomSymbols[k]) x[i * 15 + k] = 1.0f;
+      if (a.hybridization >= 1 && a.hybridization <= 3)
+        x[i * 15 + 9 + (a.hybridization - 1)] = 1.0f;
+      auto it = kAtomicNum.find(a.symbol);
+      x[i * 15 + 12] = it == kAtomicNum.end() ? 0.0f : (float)it->second;
+      x[i * 15 + 13] = a.aromatic ? 1.0f : 0.0f;
+    }
+    for (const auto& b : mol.bonds) {
+      if (mol.atoms[b.a].symbol == "H") x[b.b * 15 + 14] += 1.0f;
+      if (mol.atoms[b.b].symbol == "H") x[b.a * 15 + 14] += 1.0f;
+    }
+    std::vector<std::tuple<int64_t, int, int, int>> rows;
+    rows.reserve(e2);
+    for (const auto& b : mol.bonds) {
+      rows.push_back({(int64_t)b.a * n + b.b, b.a, b.b, b.order});
+      rows.push_back({(int64_t)b.b * n + b.a, b.b, b.a, b.order});
+    }
+    std::stable_sort(rows.begin(), rows.end(),
+                     [](const auto& p, const auto& q) {
+                       return std::get<0>(p) < std::get<0>(q);
+                     });
+    std::memset(edge_attr, 0, sizeof(float) * e2 * 4);
+    for (int k = 0; k < e2; k++) {
+      senders[k] = std::get<1>(rows[k]);
+      receivers[k] = std::get<2>(rows[k]);
+      int o = std::get<3>(rows[k]);
+      int slot = o == SINGLE ? 0 : o == DOUBLE ? 1 : o == TRIPLE ? 2 : 3;
+      edge_attr[k * 4 + slot] = 1.0f;
+    }
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
 // ELLPACK builder: fills nbr/eid [n,k] int32 and mask [n,k] uint8 from
 // an edge list.  Returns 0 on success, -1 if any in-degree exceeds k.
 int glam_build_ell(const int32_t* senders, const int32_t* receivers,

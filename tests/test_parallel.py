@@ -113,3 +113,21 @@ class TestGraphPartition:
         Nl = nsh.shape[1]
         got_flat = got.reshape(-1, C)[:N]
         np.testing.assert_allclose(got_flat, want, rtol=1e-4, atol=1e-5)
+
+
+class TestDistributedUtils:
+    def test_global_mesh_and_host_groups(self):
+        from glam_tpu.parallel.distributed import global_mesh, host_groups
+        mesh = global_mesh(("data",))
+        assert mesh.shape["data"] == len(jax.devices())
+        groups = host_groups(4)
+        assert len(groups) == 4
+        assert sum(len(g) for g in groups) == len(jax.devices())
+
+    def test_process_shard(self):
+        from glam_tpu.parallel.distributed import process_shard
+        items = list(range(10))
+        s0 = process_shard(items, process_index=0, process_count=2)
+        s1 = process_shard(items, process_index=1, process_count=2)
+        assert sorted(s0 + s1) == items
+        assert not set(s0) & set(s1)
