@@ -17,3 +17,23 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Predictor":
+        from .serve import Predictor
+        return Predictor
+    if name == "EnsemblePredictor":
+        from .serve import EnsemblePredictor
+        return EnsemblePredictor
+    if name == "MolDataset":
+        from .data.datasets import MolDataset
+        return MolDataset
+    if name == "Architecture":
+        from .nn.model import Architecture
+        return Architecture
+    if name == "ModelConfig":
+        from .nn.model import ModelConfig
+        return ModelConfig
+    raise AttributeError(name)

@@ -131,3 +131,11 @@ class TestDistributedUtils:
         s1 = process_shard(items, process_index=1, process_count=2)
         assert sorted(s0 + s1) == items
         assert not set(s0) & set(s1)
+
+
+class TestScalingHarness:
+    def test_measure_two_devices(self):
+        from glam_tpu.parallel.bench_scaling import measure
+        r = measure(2, graphs_per_device=8, n_iter=2)
+        assert r["devices"] == 2
+        assert r["edges_per_sec"] > 0
