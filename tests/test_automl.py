@@ -127,3 +127,27 @@ class TestViz:
         out = tmp_path / "m.png"
         draw_molecule("CC(=O)Oc1ccccc1C(=O)O", w, path=str(out))
         assert out.exists() and out.stat().st_size > 1000
+
+
+class TestVisualizerE2E:
+    def test_visualize_from_trained(self, tmp_path):
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        from glam_tpu.viz.attention import Visualizer
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(32)
+        root = tmp_path / "demo"
+        (root / "raw").mkdir(parents=True)
+        src.to_csv(root / "raw" / "demo.csv", index=False)
+        args = {"dataset": "demo", "dataset_root": str(root),
+                "loss": "bcel", "epochs": 1, "batch_size": 16,
+                "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1,
+                "seed": 1}
+        args, ds, kind = auto_dataset(args)
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        tr.train()
+        paths = Visualizer(tr).visualize(["CCO", "c1ccccc1"],
+                                         str(tmp_path / "viz"))
+        assert len(paths) == 2
+        import os
+        assert all(os.path.getsize(p) > 1000 for p in paths)

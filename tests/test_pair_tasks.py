@@ -181,3 +181,29 @@ class TestLITPCBA:
         loss_info, test_result, _ = tr.train_and_test()
         assert np.isfinite(loss_info["valloss"])
         assert "bedroc" in test_result and "ef_005" in test_result
+
+
+class TestDDIMulticlass:
+    def test_multiclass_training(self, tmp_path):
+        import pandas as pd
+        from glam_tpu.data.pair_datasets import DDIDataset
+        from glam_tpu.train.pair_trainer import make_ddi_trainer
+        root = tmp_path / "ddimc"
+        (root / "raw").mkdir(parents=True)
+        rng = np.random.RandomState(5)
+        smis = ["CCO", "CCC", "c1ccccc1", "CCN", "CCOC", "CC(C)C"]
+        rows = [{"Drug1_SMILES": rng.choice(smis),
+                 "Drug2_SMILES": rng.choice(smis),
+                 "label": int(rng.randint(0, 5))} for _ in range(60)]
+        pd.DataFrame(rows).to_csv(root / "raw" / "drugbank_caster.csv",
+                                  index=False)
+        ds = DDIDataset(str(root))
+        assert ds.num_classes == 5
+        args = {"dataset": "drugbank_caster", "epochs": 1,
+                "batch_size": 16, "e_dim": 32, "hid_dim_alpha": 2,
+                "message_steps": 1, "seed": 1, "loss": "ce"}
+        tr = make_ddi_trainer(args, ds, work_dir=str(tmp_path))
+        assert tr.task == "pair_multiclass"
+        loss_info, test_result, _ = tr.train_and_test()
+        assert np.isfinite(loss_info["valloss"])
+        assert "f1" in test_result
