@@ -87,7 +87,8 @@ _CLI_FLAGS = frozenset([
     "end_norm", "pre_do", "graph_do", "flat_do", "end_do", "pre_act",
     "graph_act", "flat_act", "graph_res", "batch_size", "epochs", "loss",
     "optim", "k", "lr", "lr_reduce_rate", "lr_reduce_patience",
-    "early_stop_patience", "verbose_patience", "work_dir",
+    "early_stop_patience", "verbose_patience", "work_dir", "platform",
+    "scan_steps",
 ])
 
 
@@ -98,6 +99,8 @@ def config2cmd(config: Dict) -> List[str]:
     recorded in run logs) are dropped."""
     argv = ["-m", "glam_tpu.run"]
     for k, v in config.items():
-        if k in _CLI_FLAGS:
+        # None values (e.g. 'platform': None round-tripped through a run
+        # log) must not become the string "None" on the child CLI
+        if k in _CLI_FLAGS and v is not None:
             argv += [f"--{k}", str(v)]
     return argv

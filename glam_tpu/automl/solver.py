@@ -39,7 +39,8 @@ class GLAM:
                  seed: int = 1234, split_seed: int = 1234,
                  work_dir: str = ".", env: Optional[Dict] = None,
                  high_fidelity_epochs: int = 2000,
-                 low_fidelity_epochs: Optional[int] = None):
+                 low_fidelity_epochs: Optional[int] = None,
+                 platform: Optional[str] = None):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -50,6 +51,14 @@ class GLAM:
         self.split_seed = split_seed
         self.high_fidelity_epochs = high_fidelity_epochs
         self.low_fidelity_epochs = low_fidelity_epochs
+        self.platform = platform
+        if platform:
+            # the blend/PASP phases run models in THIS process too
+            try:
+                import jax
+                jax.config.update("jax_platforms", platform)
+            except Exception:
+                pass
         self.work_dir = Path(work_dir)
         self.env = env
         self.dm = DeviceManager()
@@ -65,6 +74,8 @@ class GLAM:
     def _launch(self, config: Dict) -> subprocess.Popen:
         argv = [sys.executable] + config2cmd(config) + [
             "--work_dir", str(self.work_dir)]
+        if self.platform:
+            argv += ["--platform", self.platform]
         return subprocess.Popen(argv, env=self.env)
 
     def low_fidelity_training(self):

@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--high_fidelity_epochs", default=2000, type=int)
     p.add_argument("--low_fidelity_epochs", default=None, type=int,
                    help="override the sampled 30-epoch search budget")
+    p.add_argument("--platform", default=None, type=str,
+                   help="force trials onto a JAX platform (e.g. cpu)")
     return p
 
 
@@ -42,7 +44,8 @@ def main(argv=None):
         seed=args.seed, split_seed=args.split_seed,
         work_dir=args.work_dir,
         high_fidelity_epochs=args.high_fidelity_epochs,
-        low_fidelity_epochs=args.low_fidelity_epochs)
+        low_fidelity_epochs=args.low_fidelity_epochs,
+        platform=args.platform)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver

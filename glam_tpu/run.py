@@ -55,11 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optimizer steps fused per device dispatch")
     p.add_argument("--work_dir", default=None, type=str,
                    help="where log_{dataset}/ run dirs are created")
+    p.add_argument("--platform", default=None, type=str,
+                   help="force a JAX platform (e.g. cpu, tpu)")
     return p
 
 
 def main(argv=None):
     args = vars(build_parser().parse_args(argv))
+    if args.get("platform"):
+        import jax
+        jax.config.update("jax_platforms", args["platform"])
     from .data.datasets import auto_dataset
     from .train.trainer import make_trainer
     from .utils.seed import seed_everything

@@ -151,3 +151,13 @@ class TestVisualizerE2E:
         assert len(paths) == 2
         import os
         assert all(os.path.getsize(p) > 1000 for p in paths)
+
+
+class TestConfig2CmdNone:
+    def test_none_values_dropped(self):
+        from glam_tpu.automl.search_space import config2cmd
+        argv = config2cmd({"dataset": "demo", "platform": None,
+                           "lr": 0.001})
+        assert "--platform" not in argv
+        assert "None" not in argv
+        assert "--lr" in argv
