@@ -161,3 +161,50 @@ class TestConfig2CmdNone:
         assert "--platform" not in argv
         assert "None" not in argv
         assert "--lr" in argv
+
+
+class TestHighFidelityRelaunch:
+    def test_logged_none_platform_not_forwarded(self, tmp_path):
+        """Regression: a finished run log whose config contains
+        'platform': None must not relaunch with '--platform None'."""
+        from glam_tpu.automl.solver import GLAM
+        logs_dir = tmp_path / "log_demo"
+        d = logs_dir / "aaaa_seed_1"
+        d.mkdir(parents=True)
+        cfg = {"dataset": "demo", "dataset_root": "./datasets/demo",
+               "note": "aaaa", "epochs": 8, "seed": 1, "lr": 0.001,
+               "batch_size": 32, "mol_block": "_NNConv",
+               "optim": "Adam", "platform": None, "work_dir": "x"}
+        (d / "log.txt").write_text(
+            f"{cfg}\n"
+            "{'testloss': 0.5, 'valloss': 0.4}|{'auc': 0.9}|"
+            "{'valauc': 0.9}\n")
+        solver = GLAM(dataset="demo", dataset_root="./datasets/demo",
+                      n_init_configs=0, n_top_blend=1,
+                      n_high_fidelity_seed=1, work_dir=str(tmp_path),
+                      high_fidelity_epochs=1, platform="cpu")
+        launched = []
+
+        class FakeProc:
+            def wait(self):
+                return 0
+
+            def poll(self):
+                return 0
+
+        def fake_launch(config):
+            from glam_tpu.automl.search_space import config2cmd
+            argv = config2cmd(config)
+            if solver.platform:
+                argv += ["--platform", solver.platform]
+            launched.append(argv)
+            return FakeProc()
+
+        solver._launch = fake_launch
+        solver.high_fidelity_training()
+        assert launched, "no high-fidelity trials launched"
+        for argv in launched:
+            s = " ".join(argv)
+            assert "--platform None" not in s
+            assert "--platform cpu" in s
+            assert "--epochs 1" in s  # high_fidelity_epochs applied
