@@ -75,6 +75,24 @@ def auto_summarize_logs(dataset: str, work_dir: Path = Path(".")) -> pd.DataFram
     return summarize_logs(read_logs(logs_dir), dataset, logs_dir)
 
 
+def print_ongoing_info(logs_dir: Path, tail: int = 2) -> List[str]:
+    """Tail the last lines of every unfinished run (reference
+    logger.py:10-20 print_ongoing_info)."""
+    lines_out = []
+    for log_file in sorted(Path(logs_dir).glob("*seed*/log.txt")):
+        try:
+            lines = log_file.read_text().strip().split("\n")
+        except OSError:
+            continue
+        if lines and lines[-1].startswith("{"):
+            continue  # finished
+        for ln in lines[-tail:]:
+            lines_out.append(f"{log_file.parent.name}: {ln}")
+    for ln in lines_out:
+        print(ln)
+    return lines_out
+
+
 def select_top_runs(logs_dir: Path, dataset: str, n: int) -> pd.DataFrame:
     """Top-n individual runs by val metric (reference
     GLAMHelper.select_top_config, trainer.py:399-414)."""

@@ -107,9 +107,11 @@ READOUTS = {
 }
 
 
-def get_readout(name: str, channels: int, max_nodes: int):
+def get_readout(name: str, channels: int, max_nodes: int,
+                module_name: str = "readout"):
     key = name.strip()
     if key not in READOUTS:
         raise KeyError(f"unknown readout {name!r}; have {sorted(READOUTS)}")
     cls, mult = READOUTS[key]
-    return cls(channels=channels, max_nodes=max_nodes), mult
+    return cls(channels=channels, max_nodes=max_nodes,
+               name=module_name), mult

@@ -346,6 +346,38 @@ class Trainer:
             pass
 
     # ------------------------------------------------------------------
+    def gen_test_batch(self, path="other/test_batch.npz"):
+        """Save one eval batch as a fixture (reference
+        trainer.py:123-126 gen_test_batch saved a pickled PyG batch)."""
+        import os
+        batch = next(iter(self.valid_loader))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **{k: np.asarray(v)
+                          for k, v in batch._asdict().items()
+                          if v is not None})
+        return path
+
+    def write_datasets(self, out_dir="."):
+        """Export the split SMILES+labels as CSVs (reference DTI
+        trainer.py:128-143 write_datasets)."""
+        import pandas as pd
+        from pathlib import Path as _P
+        out = _P(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for name, loader in [("train", self.train_loader),
+                             ("valid", self.valid_loader),
+                             ("test", self.test_loader)]:
+            if loader is None:
+                continue
+            graphs = getattr(loader, "graphs", None)
+            if graphs is None:
+                continue
+            pd.DataFrame({
+                "smiles": [g.smi for g in graphs],
+                "label": [float(g.y.reshape(-1)[0]) for g in graphs],
+            }).to_csv(out / f"{name}.csv", index=False)
+
+    # ------------------------------------------------------------------
     def pasp(self):
         """PASP robustness evaluation for regression models (reference
         TrainerMolRegression.pasp, trainer.py:329-346): for perturbation

@@ -208,3 +208,18 @@ class TestHighFidelityRelaunch:
             assert "--platform None" not in s
             assert "--platform cpu" in s
             assert "--epochs 1" in s  # high_fidelity_epochs applied
+
+
+class TestOngoingInfo:
+    def test_tails_unfinished_only(self, tmp_path, capsys):
+        from glam_tpu.automl.summary import print_ongoing_info
+        logs = tmp_path / "log_demo"
+        done = logs / "done_seed_1"
+        done.mkdir(parents=True)
+        (done / "log.txt").write_text("cfg\n{'a': 1}|{'b': 2}|{'c': 3}\n")
+        running = logs / "running_seed_2"
+        running.mkdir()
+        (running / "log.txt").write_text("Training start...\nEpoch:3 ...\n")
+        out = print_ongoing_info(logs)
+        assert any("running_seed_2" in l for l in out)
+        assert not any("done_seed_1" in l for l in out)

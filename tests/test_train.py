@@ -219,3 +219,27 @@ class TestEndToEnd:
         tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
         loss_info, test_result, _ = tr.train_and_test()
         assert "rmse" in test_result
+
+
+class TestTrainerUtilities:
+    def test_gen_test_batch_and_write_datasets(self, tmp_path):
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(32)
+        root = tmp_path / "demo"
+        (root / "raw").mkdir(parents=True)
+        src.to_csv(root / "raw" / "demo.csv", index=False)
+        args = {"dataset": "demo", "dataset_root": str(root),
+                "loss": "bcel", "epochs": 1, "batch_size": 16,
+                "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1,
+                "seed": 1}
+        args, ds, kind = auto_dataset(args)
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        p = tr.gen_test_batch(str(tmp_path / "other" / "test_batch.npz"))
+        z = np.load(p)
+        assert "nodes" in z and z["nodes"].ndim == 2
+        tr.write_datasets(str(tmp_path / "splits"))
+        df = pd.read_csv(tmp_path / "splits" / "train.csv")
+        assert {"smiles", "label"} <= set(df.columns)
+        assert len(df) == len(ds.train)
