@@ -101,6 +101,6 @@ def is_valid_smiles(smiles: str) -> bool:
         return False
     try:
         smiles_to_arrays(smiles)
-    except (FeaturizeError, Exception):
+    except ValueError:
         return False
     return True

@@ -54,23 +54,6 @@ def _round_up(x: int, m: int = 8) -> int:
     return int(math.ceil(max(x, 1) / m) * m)
 
 
-def compute_budget(graphs: Sequence[GraphArrays],
-                   batch_size: int) -> Tuple[int, int]:
-    """(node_budget, edge_budget) covering any `batch_size` consecutive
-    graphs of `graphs` plus one padding node."""
-    sizes_n = [g.nodes.shape[0] for g in graphs]
-    sizes_e = [g.senders.shape[0] for g in graphs]
-    if not sizes_n:
-        return 8, 8
-    max_n = max_e = 0
-    for i in range(0, len(graphs), batch_size):
-        max_n = max(max_n, sum(sizes_n[i:i + batch_size]))
-        max_e = max(max_e, sum(sizes_e[i:i + batch_size]))
-    # +1 node so there is always at least one padding node for padded
-    # edges to attach to
-    return _round_up(max_n + 1), _round_up(max_e)
-
-
 def max_graph_nodes(graphs: Sequence[GraphArrays]) -> int:
     return max((g.nodes.shape[0] for g in graphs), default=1)
 
@@ -102,13 +85,14 @@ class GraphLoader:
                 if self.graphs else None
         self.ell_k = ell_k
         self.pallas_pack = pallas_pack
-        if node_budget is None or edge_budget is None:
+        if node_budget is None:
             # worst-case budget: batch_size largest graphs (covers any
             # shuffle order)
             ns = sorted((g.nodes.shape[0] for g in self.graphs), reverse=True)
+            node_budget = _round_up(sum(ns[:batch_size]) + 1)
+        if edge_budget is None:
             es = sorted((g.senders.shape[0] for g in self.graphs),
                         reverse=True)
-            node_budget = _round_up(sum(ns[:batch_size]) + 1)
             edge_budget = _round_up(max(sum(es[:batch_size]), 1))
         self.node_budget = node_budget
         self.edge_budget = edge_budget

@@ -120,7 +120,8 @@ class MolDataset:
         for i, smi in enumerate(df[smiles_col].values):
             try:
                 x, snd, rcv, e = featurize_smiles(str(smi))
-            except (FeaturizeError, Exception):
+            except ValueError:  # SmilesError/FeaturizeError subclass it;
+                # systematic failures (TypeError etc.) must surface
                 n_skipped += 1
                 continue
             label = target[i].copy()

@@ -22,7 +22,7 @@ trainer.py:37-41) with a padded, bucketed equivalent.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -187,7 +187,11 @@ def pad_graphs(
     pk = (None,) * 4
     if pallas_pack:
         from ..ops.pallas.segment_mxu import pack_blocks
-        perm, local, starts, pmask = pack_blocks(receivers, num_nodes)
+        # pack REAL edges only: the padding-node edge run can exceed the
+        # kernel's per-receiver block capacity, and padded messages only
+        # ever land in the padding node anyway
+        perm, local, starts, pmask = pack_blocks(receivers[:e_off],
+                                                 num_nodes)
         pk = (jnp.asarray(perm.astype(np.int32)), jnp.asarray(local),
               jnp.asarray(starts), jnp.asarray(pmask))
 

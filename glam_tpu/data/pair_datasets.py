@@ -28,15 +28,16 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from ..chem.featurize import FeaturizeError, smiles_to_arrays
+from ..chem.featurize import FeaturizeError
 from ..chem.proteins import load_contactmap, protein_to_arrays
+from .datasets import featurize_smiles
 from .graph import GraphArrays
 
 
 def _mol_graph(smi: str, y) -> Optional[GraphArrays]:
     try:
-        x, snd, rcv, e = smiles_to_arrays(smi)
-    except (FeaturizeError, Exception):
+        x, snd, rcv, e = featurize_smiles(smi)
+    except ValueError:
         return None
     return GraphArrays(nodes=x, edges=e, senders=snd, receivers=rcv,
                        y=np.atleast_1d(np.asarray(y, np.float32)), smi=smi)
@@ -65,8 +66,14 @@ class DDIDataset:
         self.pairs = pairs
         self.num_tasks = 1
         labels = {p[2] for p in pairs}
-        self.num_classes = num_classes or (len(labels)
-                                           if len(labels) > 2 else 1)
+        if num_classes is not None:
+            self.num_classes = num_classes
+        elif labels <= {0.0, 1.0}:
+            self.num_classes = 1  # binary sigmoid head
+        else:
+            # multiclass: class ids are the label VALUES (may be
+            # non-contiguous), so the head must span 0..max inclusive
+            self.num_classes = int(max(labels)) + 1
         some = next(iter(self.mol_store.values()))
         self.num_node_features = int(some.nodes.shape[1])
         self.num_edge_features = int(some.edges.shape[1])

@@ -17,8 +17,7 @@ from typing import List, Tuple
 import numpy as np
 import pandas as pd
 
-from ..chem.featurize import FeaturizeError, smiles_to_arrays
-from .datasets import MolDataset
+from .datasets import MolDataset, featurize_smiles
 from .graph import GraphArrays
 
 
@@ -26,7 +25,7 @@ def _featurize_list(smiles: List[str], labels: List[float]
                     ) -> List[GraphArrays]:
     out = []
     for smi, y in zip(smiles, labels):
-        x, snd, rcv, e = smiles_to_arrays(str(smi))
+        x, snd, rcv, e = featurize_smiles(str(smi))
         out.append(GraphArrays(nodes=x, edges=e, senders=snd, receivers=rcv,
                                y=np.asarray([y], np.float32), smi=str(smi)))
     return out

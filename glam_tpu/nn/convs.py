@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.segment import segment_mean, segment_softmax, segment_sum
-from .init import kaiming_uniform, torch_linear_bias, torch_linear_kernel
+from .init import (glorot_uniform_pyg, kaiming_uniform,
+                   kaiming_uniform_fan, pyg_uniform, torch_linear_bias,
+                   torch_linear_kernel)
 
 
 def _leaky_relu(x, slope):
@@ -64,13 +66,16 @@ class TripletMessage(nn.Module):
     def __call__(self, x, edge_attr, senders, receivers, ell=None,
                  pack=None):
         C, H = self.channels, self.heads
-        wn = self.param("weight_node", kaiming_uniform(0), (C, H * C))
-        we = self.param("weight_edge", kaiming_uniform(0),
+        # torch kaiming_uniform_ on the reference's (in, out)-shaped
+        # Parameters takes fan = size(1) (layer.py:29-34); the 3D
+        # (1, H, 3C) attention tensor gets fan = H * 3C
+        wn = self.param("weight_node", kaiming_uniform(1), (C, H * C))
+        we = self.param("weight_edge", kaiming_uniform(1),
                         (self.edge_channels, H * C))
-        # torch shape (1, H, 3C); fan_in of kaiming_uniform_ on a 3D tensor
-        # is dim=1 size => H. We keep the same distribution.
-        watt = self.param("weight_triplet_att", kaiming_uniform(0), (H, 3 * C))
-        wscale = self.param("weight_scale", kaiming_uniform(0), (H * C, C))
+        watt = self.param("weight_triplet_att",
+                          kaiming_uniform_fan(H * 3 * C), (H, 3 * C))
+        wscale = self.param("weight_scale", kaiming_uniform(1),
+                            (H * C, C))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (C,))
 
         xp = x @ wn                       # [N, H*C]
@@ -122,8 +127,11 @@ class TripletMessageLight(nn.Module):
     @nn.compact
     def __call__(self, x, edge_attr, senders, receivers, ell=None):
         C = self.channels
-        wn = self.param("weight_node", kaiming_uniform(0), (C, C))
-        watt = self.param("weight_triplet_att", kaiming_uniform(0),
+        # reference shapes: (C, C) -> fan size(1) = C; (1, 2C+E) -> fan
+        # size(1) = 2C+E
+        wn = self.param("weight_node", kaiming_uniform(1), (C, C))
+        watt = self.param("weight_triplet_att",
+                          kaiming_uniform_fan(2 * C + self.edge_channels),
                           (2 * C + self.edge_channels,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (C,))
         xp = x @ wn
@@ -177,10 +185,10 @@ class NNConv(nn.Module):
             aggr = jnp.sum(gathered, axis=1) / cnt
         else:
             aggr = segment_mean(msg, receivers, x.shape[0])
-        # PyG NNConv root weight init: uniform(-1/sqrt(Ci), ..) ("glorot"
-        # style of PyG 1.7 is uniform based on fan_in of root = Ci)
-        root = self.param("root", kaiming_uniform(0), (ci, co))
-        bias = self.param("bias", lambda k, s: jnp.zeros(s), (co,))
+        # PyG 1.7 NNConv.reset_parameters: uniform(in_channels, root)
+        # and uniform(in_channels, bias) — both U(+-1/sqrt(Ci))
+        root = self.param("root", pyg_uniform(ci), (ci, co))
+        bias = self.param("bias", pyg_uniform(ci), (co,))
         return aggr + x @ root + bias
 
 
@@ -196,7 +204,10 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, x, edge_attr, senders, receivers, ell=None):
         N = x.shape[0]
-        w = self.param("weight", kaiming_uniform(0),
+        # PyG 1.7 GCNConv: glorot(weight), zeros(bias)
+        w = self.param("weight",
+                       glorot_uniform_pyg(self.in_channels
+                                          + self.out_channels),
                        (self.in_channels, self.out_channels))
         bias = self.param("bias", lambda k, s: jnp.zeros(s),
                           (self.out_channels,))
@@ -229,9 +240,15 @@ class GATConv(nn.Module):
     def __call__(self, x, edge_attr, senders, receivers, ell=None):
         N = x.shape[0]
         H, C = self.heads, self.out_channels
-        w = self.param("weight", kaiming_uniform(0), (self.in_channels, H * C))
-        att_src = self.param("att_src", kaiming_uniform(1), (H, C))
-        att_dst = self.param("att_dst", kaiming_uniform(1), (H, C))
+        # PyG 1.7 GATConv: glorot(weight [in, H*C]) and glorot(att
+        # [1, H, 2C] -> fan H + 2C); zeros(bias)
+        w = self.param("weight",
+                       glorot_uniform_pyg(self.in_channels + H * C),
+                       (self.in_channels, H * C))
+        att_src = self.param("att_src", glorot_uniform_pyg(H + 2 * C),
+                             (H, C))
+        att_dst = self.param("att_dst", glorot_uniform_pyg(H + 2 * C),
+                             (H, C))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (H * C,))
         xp = (x @ w).reshape(N, H, C)
         a_src = jnp.einsum("nhc,hc->nh", xp, att_src)

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 from flax import serialization
 
-from .chem.featurize import FeaturizeError, smiles_to_arrays
+from .data.datasets import featurize_smiles
 from .data.batching import GraphLoader
 from .data.graph import GraphArrays
 from .nn.model import Architecture, model_config_from_args
@@ -80,11 +80,11 @@ class Predictor:
         graphs: List[Optional[GraphArrays]] = []
         for smi in smiles:
             try:
-                x, snd, rcv, e = smiles_to_arrays(smi)
+                x, snd, rcv, e = featurize_smiles(smi)
                 graphs.append(GraphArrays(
                     nodes=x, edges=e, senders=snd, receivers=rcv,
                     y=np.zeros(self.num_tasks, np.float32), smi=smi))
-            except (FeaturizeError, Exception):
+            except ValueError:
                 graphs.append(None)
         valid = [g for g in graphs if g is not None]
         outs = []

@@ -100,3 +100,25 @@ class TestConvIntegration:
         a = np.asarray(model.apply(v, plain, True))
         b = np.asarray(model.apply(v, packed, True))
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+class TestPackWithPadding:
+    def test_loose_budget_many_padded_edges(self, sample_graphs):
+        """Regression: pallas_pack must ignore padded edges — a loose
+        edge budget leaves far more than E_BLOCK padding edges all
+        pointing at the padding node."""
+        from glam_tpu.data.batching import GraphLoader
+        from glam_tpu.nn.model import Architecture, ModelConfig
+        loader = GraphLoader(sample_graphs, 6, 1, edge_budget=1024,
+                             node_budget=256, pallas_pack=True)
+        batch = next(iter(loader))  # must not raise
+        assert int(batch.pack_mask.sum()) == int(batch.edge_mask.sum())
+        cfg = ModelConfig(max_nodes=64, e_dim=32,
+                          mol_block="_TripletMessage")
+        model = Architecture(cfg)
+        plain = batch._replace(pack_perm=None, pack_local=None,
+                               pack_start=None, pack_mask=None)
+        v = model.init(jax.random.PRNGKey(0), plain, True)
+        a = np.asarray(model.apply(v, plain, True))
+        b = np.asarray(model.apply(v, batch, True))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
