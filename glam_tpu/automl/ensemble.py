@@ -48,7 +48,13 @@ def blend_and_inference(ids: List[str], configs: List[str],
         trainer.log_save_dir = ckpt_dir
         trainer.load_best_ckpt()
         log(f"Checkpoint {run_id} loaded.")
-        outputs.append(trainer.valid_iterations(mode="inference"))
+        out = trainer.valid_iterations(mode="inference")
+        # normalize per-task inference tuples to what the blenders
+        # expect: regression -> (y, pred); classification -> (score, y).
+        # The binary_nan ('ce') trainer returns (y, score, pred).
+        if trainer.task == "binary_nan":
+            out = (out[1], out[0])
+        outputs.append(out)
         log("inference done!")
     if not outputs:
         return None

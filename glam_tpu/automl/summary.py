@@ -55,15 +55,23 @@ def summarize_logs(logs: List[Dict], dataset: str,
         return pd.DataFrame()
     df = pd.DataFrame(logs)
     metric = auto_metrics(dataset)[0]
+    # group by the config id ('note'): each seed-run's config string
+    # embeds its own seed, so grouping by 'config' would make one-row
+    # groups and rank individual seed-runs instead of seed-averaged
+    # configs (reference logger.py:103-118 groups by note)
     group_key = "note" if "note" in df.columns else "config"
     num_cols = [c for c in df.columns
                 if pd.api.types.is_numeric_dtype(df[c])]
-    agg = df.groupby("config")[num_cols].agg(["mean", "std", "min", "max"])
+    agg = df.groupby(group_key)[num_cols].agg(["mean", "std", "min",
+                                               "max"])
     agg.columns = ["_".join(c) for c in agg.columns]
     rank_col = f"{metric}_mean"
     if rank_col in agg.columns:
         agg = agg.sort_values(rank_col, ascending=False)
     agg = agg.reset_index()
+    # carry one representative config string per group for relaunching
+    rep = df.groupby(group_key)["config"].first().reset_index()
+    agg = agg.merge(rep, on=group_key, how="left")
     if logs_dir is not None:
         agg.to_csv(Path(logs_dir) / "logs_summary.csv", index=False)
         df.to_csv(Path(logs_dir) / "search_result.csv", index=False)

@@ -27,40 +27,49 @@ from .smiles import Mol, SmilesError, parse_smiles
 def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
     """Return (kept atom indices, bonds as (a, b, order)) of the scaffold.
 
-    A molecule with no rings yields an empty scaffold (RDKit parity:
-    MurckoScaffoldSmiles returns '' for acyclic molecules)."""
+    RDKit-parity definition: the framework = ring atoms + linker atoms
+    (obtained by iteratively pruning ALL terminal atoms that are not in
+    rings, regardless of bond order), plus atoms attached to the
+    framework by a multiple bond (exocyclic =O etc. are retained).  A
+    molecule with no rings yields an empty scaffold."""
+    from .smiles import _ring_bonds
+
     n = mol.num_atoms()
-    alive = [True] * n
+    ring_atoms = set()
+    for ring in _ring_bonds(mol):
+        ring_atoms.update(ring)
+    if not ring_atoms:
+        return [], []
     deg = [0] * n
-    order_of = {}
     adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
     for b in mol.bonds:
         adj[b.a].append((b.b, b.order))
         adj[b.b].append((b.a, b.order))
         deg[b.a] += 1
         deg[b.b] += 1
-        order_of[(min(b.a, b.b), max(b.a, b.b))] = b.order
+    alive = [True] * n
     changed = True
     while changed:
         changed = False
         for i in range(n):
-            if not alive[i] or deg[i] != 1:
+            if not alive[i] or i in ring_atoms or deg[i] > 1:
                 continue
-            # find the single live neighbor and the connecting bond order
-            for (j, o) in adj[i]:
-                if alive[j]:
-                    if o == 1:  # only plain single bonds are prunable
-                        alive[i] = False
-                        deg[j] -= 1
-                        deg[i] = 0
-                        changed = True
-                    break
-    # drop isolated leftover atoms (acyclic molecules collapse to nothing)
-    for i in range(n):
-        if alive[i] and deg[i] == 0:
             alive[i] = False
-    kept = [i for i in range(n) if alive[i]]
-    kept_set = set(kept)
+            changed = True
+            for (j, _o) in adj[i]:
+                if alive[j]:
+                    deg[j] -= 1
+            deg[i] = 0
+    framework = {i for i in range(n) if alive[i]}
+    # re-attach atoms multiple-bonded directly to the framework
+    kept_set = set(framework)
+    for b in mol.bonds:
+        if b.order > 1:
+            if b.a in framework and b.b not in framework:
+                kept_set.add(b.b)
+            elif b.b in framework and b.a not in framework:
+                kept_set.add(b.a)
+    kept = sorted(kept_set)
     bonds = [(b.a, b.b, b.order) for b in mol.bonds
              if b.a in kept_set and b.b in kept_set]
     return kept, bonds

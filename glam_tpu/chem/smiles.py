@@ -183,7 +183,12 @@ def parse_smiles(smiles: str) -> Mol:
             prev, pending_bond = idx, None
             i = j + 1
         elif c.isalpha() or c == "*":
-            if c.isupper() and i + 1 < n and smiles[i:i + 2] in _TWO_LETTER:
+            # outside brackets only the ORGANIC SUBSET may appear bare:
+            # B C N O P S F Cl Br I.  Accepting arbitrary two-letter
+            # symbols here would misparse e.g. 'In1cccc1' (iodine +
+            # aromatic N ring) as indium.
+            if c.isupper() and i + 1 < n and smiles[i:i + 2] in ("Cl",
+                                                                 "Br"):
                 sym, i = smiles[i:i + 2], i + 2
                 atom = Atom(symbol=sym)
             elif c.islower():

@@ -129,7 +129,10 @@ def _kernel(starts_ref, logits_ref, values_ref, local_ref, mask_ref,
     # gather wmax back to edges: smf.T @ wmax  (one-hot matmul gather)
     edge_max = jnp.dot(smf.T, wmax, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    shifted = lg - edge_max                                  # [E, H]
+    # padded slots get edge_max=0 (zero smf column); exp of their RAW
+    # logit could overflow to inf and poison the block via inf*0=NaN,
+    # so zero their shifted logits before exponentiating
+    shifted = (lg - edge_max) * emaskf                       # [E, H]
     ex = jnp.exp(shifted) * emaskf                           # [E, H]
     denom = jnp.dot(smf, ex, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # [W, H]

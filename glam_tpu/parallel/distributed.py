@@ -42,9 +42,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     if addr:
         kwargs["coordinator_address"] = addr
         kwargs["num_processes"] = int(
-            num_processes or os.environ["GLAM_NUM_PROCESSES"])
+            num_processes if num_processes is not None
+            else os.environ["GLAM_NUM_PROCESSES"])
+        # NB: `or` would treat the coordinator's process_id=0 as missing
         kwargs["process_id"] = int(
-            process_id or os.environ["GLAM_PROCESS_ID"])
+            process_id if process_id is not None
+            else os.environ["GLAM_PROCESS_ID"])
     jax.distributed.initialize(**kwargs)
 
 

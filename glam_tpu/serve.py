@@ -42,6 +42,14 @@ class Predictor:
         self.batch_size = batch_size
         self.task = args.get("task", "regression")
         self.num_tasks = int(args.get("num_tasks", 1))
+        self.out_dim = int(args.get("out_dim", 1))
+        # pin loader budgets so repeated predict calls share ONE
+        # compiled executable (max_nodes = the checkpointed per-graph
+        # cap; molecular edge count <= ~2.4x nodes, pad generously)
+        mc = args.get("model_cfg", {})
+        max_nodes = int(mc.get("max_nodes", 132))
+        self._node_budget = 8 * -(-(batch_size * max_nodes + 1) // 8)
+        self._edge_budget = 8 * -(-(3 * batch_size * max_nodes) // 8)
 
         def forward(params, batch_stats, batch):
             variables = {"params": params}
@@ -89,15 +97,25 @@ class Predictor:
         valid = [g for g in graphs if g is not None]
         outs = []
         if valid:
-            loader = GraphLoader(valid, self.batch_size, self.num_tasks)
-            for batch in loader:
+            try:
+                loader = GraphLoader(valid, self.batch_size,
+                                     self.num_tasks,
+                                     node_budget=self._node_budget,
+                                     edge_budget=self._edge_budget)
+                batches = list(loader)
+            except ValueError:
+                # inputs exceed the pinned budgets (unusually large
+                # molecules): fall back to input-derived shapes
+                batches = list(GraphLoader(valid, self.batch_size,
+                                           self.num_tasks))
+            for batch in batches:
                 out = np.asarray(self._forward(self.params,
                                                self.batch_stats, batch))
                 outs.append(out[np.asarray(batch.graph_mask)])
             preds = np.concatenate(outs, axis=0)
         else:
-            preds = np.zeros((0, 1), np.float32)
-        width = preds.shape[1] if preds.size else 1
+            preds = np.zeros((0, self.out_dim), np.float32)
+        width = preds.shape[1] if preds.size else self.out_dim
         full = np.full((len(smiles), width), np.nan, np.float32)
         vi = 0
         for i, g in enumerate(graphs):

@@ -97,17 +97,18 @@ Atom parse_bracket(const std::string& body) {
     atom.aromatic = true;
     std::string s(1, (char)std::toupper((unsigned char)body[i]));
     i++;
-    if (i < body.size() && std::islower((unsigned char)body[i]) &&
-        kTwoLetter.count(s + body[i])) {
+    // mirror the oracle's [a-z]{1,2}: one extra lowercase, greedy
+    if (i < body.size() && std::islower((unsigned char)body[i])) {
       s += body[i];
       i++;
     }
     atom.symbol = s;
   } else if (std::isupper((unsigned char)body[i])) {
+    // generic [A-Z][a-z]? — mirror the Python oracle's regex, which
+    // consumes ONE following lowercase letter unconditionally
     std::string s(1, body[i]);
     i++;
-    if (i < body.size() && std::islower((unsigned char)body[i]) &&
-        kTwoLetter.count(s + body[i])) {
+    if (i < body.size() && std::islower((unsigned char)body[i])) {
       s += body[i];
       i++;
     }
@@ -115,9 +116,14 @@ Atom parse_bracket(const std::string& body) {
   } else {
     throw ParseError{"bad bracket atom"};
   }
-  // chirality
-  while (i < body.size() && body[i] == '@') i++;
-  if (i + 1 < body.size() &&
+  // chirality: the TH/AL/SP/TB/OH class suffix is only valid after at
+  // least one '@' (otherwise 'OH3' in [COH3] would be eaten here)
+  size_t n_at = 0;
+  while (i < body.size() && body[i] == '@') {
+    i++;
+    n_at++;
+  }
+  if (n_at > 0 && i + 1 < body.size() &&
       (body.compare(i, 2, "TH") == 0 || body.compare(i, 2, "AL") == 0 ||
        body.compare(i, 2, "SP") == 0 || body.compare(i, 2, "TB") == 0 ||
        body.compare(i, 2, "OH") == 0)) {
@@ -387,8 +393,9 @@ Mol parse_smiles(const std::string& s) {
       i = j + 1;
     } else if (std::isalpha((unsigned char)c) || c == '*') {
       Atom atom;
+      // bare atoms: ORGANIC SUBSET only (Cl/Br the only two-letter)
       if (std::isupper((unsigned char)c) && i + 1 < n &&
-          kTwoLetter.count(s.substr(i, 2))) {
+          (s.substr(i, 2) == "Cl" || s.substr(i, 2) == "Br")) {
         atom.symbol = s.substr(i, 2);
         i += 2;
       } else if (std::islower((unsigned char)c)) {

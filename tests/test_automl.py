@@ -223,3 +223,29 @@ class TestOngoingInfo:
         out = print_ongoing_info(logs)
         assert any("running_seed_2" in l for l in out)
         assert not any("done_seed_1" in l for l in out)
+
+
+class TestSeedGrouping:
+    def test_summary_groups_seeds_of_one_config(self, tmp_path):
+        """Regression: ranking must average over seeds of the same
+        config note, not treat each seed-run as its own group."""
+        from glam_tpu.automl.summary import read_logs, summarize_logs
+        logs_dir = tmp_path / "log_demo"
+        # config A: seeds with auc .6/.8 (mean .7); config B: .75
+        runs = [("A", 1, 0.6), ("A", 2, 0.8), ("B", 1, 0.75)]
+        for note, seed, auc in runs:
+            d = logs_dir / f"{note}{seed}_seed_{seed}"
+            d.mkdir(parents=True)
+            cfg = {"dataset": "demo", "note": note, "seed": seed,
+                   "epochs": 8, "batch_size": 32, "lr": 0.001,
+                   "mol_block": "_NNConv", "optim": "Adam"}
+            (d / "log.txt").write_text(
+                f"{cfg}\n"
+                f"{{'testloss': 0.5, 'valloss': 0.4}}|"
+                f"{{'auc': {auc}}}|{{'valauc': {auc}}}\n")
+        summary = summarize_logs(read_logs(logs_dir), "demo")
+        assert len(summary) == 2               # two configs, not three
+        assert summary.iloc[0]["note"] == "B"  # .75 > mean(.6,.8)=.7
+        assert abs(summary[summary.note == "A"].iloc[0]["valauc_mean"]
+                   - 0.7) < 1e-9
+        assert "config" in summary.columns     # relaunch needs it

@@ -137,3 +137,31 @@ class TestScaffold:
     def test_random_split_sizes(self):
         tr, va, te = random_split(100, seed=1)
         assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+
+
+class TestScaffoldRDKitParity:
+    def test_acyclic_with_carbonyl_empty(self):
+        # RDKit: acyclic molecules have empty scaffolds even with C=O
+        assert scaffold_key("CC=O") == ""
+        assert scaffold_key("CC(=O)O") == ""
+        assert scaffold_key("N#CCCNCCC#N") == ""
+
+    def test_aspirin_scaffold_is_benzene(self):
+        assert scaffold_key("CC(=O)Oc1ccccc1C(=O)O") == \
+            scaffold_key("c1ccccc1")
+
+    def test_exocyclic_double_bond_kept(self):
+        # cyclohexanone scaffold keeps the =O, so it differs from
+        # plain cyclohexane
+        assert scaffold_key("O=C1CCCCC1") != scaffold_key("C1CCCCC1")
+
+    def test_linker_retained(self):
+        # biphenyl-with-CH2-linker differs from benzene
+        assert scaffold_key("c1ccccc1Cc1ccccc1") != scaffold_key("c1ccccc1")
+
+    def test_organic_subset_two_letter(self):
+        from glam_tpu.chem.smiles import parse_smiles
+        # 'In1cccc1' = iodine + aromatic-N five-ring, NOT indium
+        m = parse_smiles("In1cccc1")
+        assert [a.symbol for a in m.atoms][:2] == ["I", "N"]
+        assert len(m.atoms) == 6

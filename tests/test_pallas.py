@@ -122,3 +122,23 @@ class TestPackWithPadding:
         a = np.asarray(model.apply(v, plain, True))
         b = np.asarray(model.apply(v, batch, True))
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+class TestLogitSpike:
+    def test_padded_slot_overflow_does_not_nan(self):
+        """Regression: a huge logit on edge 0 (duplicated into padded
+        block slots) must not overflow exp and NaN the whole block."""
+        N = 16
+        receivers = np.asarray([0, 0, 1], np.int32)
+        logits = np.asarray([[120.0], [2.0], [3.0]], np.float32)
+        values = np.ones((3, 8), np.float32)
+        perm, local, starts, mask = pack_blocks(receivers, N)
+        out = np.asarray(fused_segment_softmax_spmm(
+            jnp.asarray(logits), jnp.asarray(values), jnp.asarray(perm),
+            jnp.asarray(local), jnp.asarray(starts), jnp.asarray(mask),
+            N, 1, 8, interpret=True))
+        assert np.isfinite(out).all()
+        want = np.asarray(segment_softmax_spmm_reference(
+            jnp.asarray(logits), jnp.asarray(values),
+            jnp.asarray(receivers), N))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
