@@ -19,18 +19,17 @@ differ.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.batching import PairGraphLoader
-from ..nn.model import ModelConfig, PairArchitecture, model_config_from_args
-from .losses import bce_logits, cross_entropy, get_loss, mse
+from ..nn.model import PairArchitecture, model_config_from_args
+from .losses import bce_logits, cross_entropy, get_loss
 from .metrics import (binary_metrics, multi_class_metrics,
                       regression_metrics, screening_metrics)
-from .trainer import TrainState, Trainer
+from .trainer import Trainer
 
 
 def make_pair_loss_fn(task: str, loss_name: str, num_classes: int,
@@ -90,112 +89,9 @@ class PairTrainer(Trainer):
                                  int(self.args.get("num_classes", 1)),
                                  self.class_weights)
 
-    def _init_variables(self, rng, sample):
-        b1, b2 = sample
-        return self.model.init(
-            {"params": rng, "dropout": jax.random.PRNGKey(1)}, b1, b2, True)
-
-    def _build_steps(self):
-        loss_fn = self.loss_fn
-        model = self.model
-
-        def train_step(state: TrainState, b1, b2, rng):
-            drop_rng = jax.random.fold_in(rng, state.step)
-
-            def compute(params):
-                variables = {"params": params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    out, updates = model.apply(
-                        variables, b1, b2, False,
-                        rngs={"dropout": drop_rng},
-                        mutable=["batch_stats"])
-                    new_stats = updates.get("batch_stats",
-                                            state.batch_stats)
-                else:
-                    out = model.apply(variables, b1, b2, False,
-                                      rngs={"dropout": drop_rng})
-                    new_stats = state.batch_stats
-                return loss_fn(out, b1.y, b1.graph_mask), new_stats
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                compute, has_aux=True)(state.params)
-            state = state.apply_gradients(grads=grads)
-            if state.batch_stats:
-                state = state.replace(batch_stats=new_stats)
-            return state, loss
-
-        def eval_step(params, batch_stats, b1, b2):
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            out = model.apply(variables, b1, b2, True)
-            loss = loss_fn(out, b1.y, b1.graph_mask)
-            return out, loss
-
-        def train_scan(state, stacked1, stacked2, rng):
-            def body(st, pair):
-                b1, b2 = pair
-                st, loss = train_step(st, b1, b2, rng)
-                return st, loss
-
-            state, losses = jax.lax.scan(body, state, (stacked1, stacked2))
-            return state, jnp.mean(losses)
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step)
-
-    # -- iteration overrides -------------------------------------------
-    def train_iterations(self, rng) -> float:
-        from ..data.batching import prefetch
-        scan = int(self.args.get("scan_steps", 8))
-        losses = []
-        pending = []
-
-        def flush():
-            if not pending:
-                return
-            if len(pending) == scan and scan > 1:
-                s1 = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[p[0] for p in pending])
-                s2 = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[p[1] for p in pending])
-                self.state, loss = self._train_scan(self.state, s1, s2,
-                                                    rng)
-                losses.append(loss)
-            else:
-                for b1, b2 in pending:
-                    self.state, loss = self._train_step(self.state, b1,
-                                                        b2, rng)
-                    losses.append(loss)
-            pending.clear()
-
-        for pair in prefetch(iter(self.train_loader)):
-            pending.append(pair)
-            if len(pending) == max(scan, 1):
-                flush()
-        flush()
-        if losses:
-            self.log("\tbatch 0 training loss: {:.5f}".format(
-                float(losses[0])), with_time=True)
-        return float(np.mean([float(l) for l in losses]))
-
-    def _gather(self, mode: str):
-        loader = {"valid": self.valid_loader, "test": self.test_loader,
-                  "inference": self.test_loader}[mode]
-        outs, ys, masks, losses = [], [], [], []
-        for b1, b2 in loader:
-            out, loss = self._eval_step(self.state.params,
-                                        self.state.batch_stats, b1, b2)
-            outs.append(np.asarray(out))
-            ys.append(np.asarray(b1.y))
-            masks.append(np.asarray(b1.graph_mask))
-            losses.append(float(loss))
-        m = np.concatenate(masks)
-        return (np.concatenate(outs)[m], np.concatenate(ys)[m],
-                float(np.mean(losses)))
-
+    # jitted steps, train_iterations and _gather come from Trainer —
+    # they are generic over the batch-parts tuple (Trainer._as_parts);
+    # only the metric heads below differ.
     def valid_iterations(self, mode: str = "valid"):
         out, y, mean_loss = self._gather(
             "valid" if mode == "valid" else

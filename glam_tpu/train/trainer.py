@@ -150,14 +150,28 @@ class Trainer:
 
     def _init_variables(self, rng, sample):
         return self.model.init(
-            {"params": rng, "dropout": jax.random.PRNGKey(1)}, sample, True)
+            {"params": rng, "dropout": jax.random.PRNGKey(1)},
+            *self._as_parts(sample), True)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _as_parts(batch) -> Tuple[GraphBatch, ...]:
+        """Normalize a loader item to a tuple of GraphBatches.
+
+        Single-tower loaders yield one GraphBatch; pair loaders yield
+        (mol, mol2|pro).  The jitted steps and the epoch loop below are
+        generic over this tuple, so PairTrainer only swaps loaders, loss
+        and the metric heads (the reference duplicated the whole Trainer
+        per task tree instead, src_2gi_*/trainer.py)."""
+        if isinstance(batch, GraphBatch):
+            return (batch,)
+        return tuple(batch)
+
     def _build_steps(self):
         loss_fn = self.loss_fn
         model = self.model
 
-        def train_step(state: TrainState, batch: GraphBatch, rng):
+        def train_step(state: TrainState, parts, rng):
             drop_rng = jax.random.fold_in(rng, state.step)
 
             def compute(params):
@@ -165,14 +179,15 @@ class Trainer:
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     out, updates = model.apply(
-                        variables, batch, False, rngs={"dropout": drop_rng},
+                        variables, *parts, False,
+                        rngs={"dropout": drop_rng},
                         mutable=["batch_stats"])
                     new_stats = updates.get("batch_stats", state.batch_stats)
                 else:
-                    out = model.apply(variables, batch, False,
+                    out = model.apply(variables, *parts, False,
                                       rngs={"dropout": drop_rng})
                     new_stats = state.batch_stats
-                loss = loss_fn(out, batch.y, batch.graph_mask)
+                loss = loss_fn(out, parts[0].y, parts[0].graph_mask)
                 return loss, new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
@@ -182,20 +197,20 @@ class Trainer:
                 state = state.replace(batch_stats=new_stats)
             return state, loss
 
-        def eval_step(params, batch_stats, batch: GraphBatch):
+        def eval_step(params, batch_stats, parts):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            out = model.apply(variables, batch, True)
-            loss = loss_fn(out, batch.y, batch.graph_mask)
+            out = model.apply(variables, *parts, True)
+            loss = loss_fn(out, parts[0].y, parts[0].graph_mask)
             return out, loss
 
-        def train_scan(state: TrainState, stacked: GraphBatch, rng):
+        def train_scan(state: TrainState, stacked, rng):
             # S stacked batches -> S optimizer steps in ONE dispatch
             # (lax.scan); cuts host->device dispatch latency S-fold for
             # small-molecule workloads, which are latency-bound.
-            def body(st, batch):
-                st, loss = train_step(st, batch, rng)
+            def body(st, parts):
+                st, loss = train_step(st, parts, rng)
                 return st, loss
 
             state, losses = jax.lax.scan(body, state, stacked)
@@ -208,8 +223,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_iterations(self, rng) -> float:
         scan = int(self.args.get("scan_steps", 8))
-        losses = []
-        pending: List[GraphBatch] = []
+        losses: List[Tuple[float, int]] = []  # (group mean, n batches)
+        pending: List[Tuple[GraphBatch, ...]] = []
 
         def flush():
             if not pending:
@@ -219,34 +234,38 @@ class Trainer:
                     lambda *xs: jnp.stack(xs), *pending)
                 self.state, loss = self._train_scan(self.state, stacked,
                                                     rng)
-                losses.append(loss)
+                losses.append((loss, scan))
             else:
-                for b in pending:
-                    self.state, loss = self._train_step(self.state, b, rng)
-                    losses.append(loss)
+                for parts in pending:
+                    self.state, loss = self._train_step(self.state, parts,
+                                                        rng)
+                    losses.append((loss, 1))
             pending.clear()
 
         from ..data.batching import prefetch
         for batch in prefetch(iter(self.train_loader)):
-            pending.append(batch)
+            pending.append(self._as_parts(batch))
             if len(pending) == max(scan, 1):
                 flush()
         flush()
         if losses:
             self.log("\tbatch 0 training loss: {:.5f}".format(
-                float(losses[0])), with_time=True)
-        return float(np.mean([float(l) for l in losses]))
+                float(losses[0][0])), with_time=True)
+        # per-batch (not per-group) mean: scan groups carry their size
+        total = sum(n for _, n in losses)
+        return float(sum(float(l) * n for l, n in losses) / max(total, 1))
 
     def _gather(self, mode: str):
         loader = {"valid": self.valid_loader, "test": self.test_loader,
                   "inference": self.test_loader}[mode]
         outs, ys, masks, losses = [], [], [], []
         for batch in loader:
+            parts = self._as_parts(batch)
             out, loss = self._eval_step(self.state.params,
-                                        self.state.batch_stats, batch)
+                                        self.state.batch_stats, parts)
             outs.append(np.asarray(out))
-            ys.append(np.asarray(batch.y))
-            masks.append(np.asarray(batch.graph_mask))
+            ys.append(np.asarray(parts[0].y))
+            masks.append(np.asarray(parts[0].graph_mask))
             losses.append(float(loss))
         m = np.concatenate(masks)
         return (np.concatenate(outs)[m], np.concatenate(ys)[m],
