@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="where log_{dataset}/ run dirs are created")
     p.add_argument("--platform", default=None, type=str,
                    help="force a JAX platform (e.g. cpu, tpu)")
+    p.add_argument("--resume", default=None, type=str,
+                   help="run dir (or last_save.ckpt) to resume "
+                        "mid-training from")
     return p
 
 
@@ -73,8 +76,11 @@ def main(argv=None):
     print("Loading dataset...")
     args, dataset, trainer_kind = auto_dataset(args)
     print("Training init...")
+    resume = args.pop("resume", None)
     trainer = make_trainer(args, dataset, trainer_kind,
                            work_dir=args.get("work_dir"))
+    if resume:
+        trainer.resume(resume)
     trainer.train_and_test()
     return trainer
 

@@ -300,11 +300,16 @@ class Trainer:
     def train(self):
         self.log("Training start...")
         rng = jax.random.PRNGKey(int(self.args.get("seed", 1234)) + 7)
-        early_stop_cnt = 0
+        early_stop_cnt = getattr(self, "_early_stop_cnt", 0)
+        start_epoch = getattr(self, "_start_epoch", 0)
         epochs = int(self.args.get("epochs", 30))
         patience = int(self.args.get("early_stop_patience", 50))
-        epoch = 0
-        for epoch in range(epochs):
+        epoch = start_epoch
+        if start_epoch and hasattr(self.train_loader, "set_epoch"):
+            # replay the shuffle sequence so a resumed run sees the same
+            # batch order a straight-through run would have at this epoch
+            self.train_loader.set_epoch(start_epoch)
+        for epoch in range(start_epoch, epochs):
             trn_loss = self.train_iterations(rng)
             val_loss, result = self.valid_iterations()
             lr = get_learning_rate(self.state.opt_state)
@@ -322,6 +327,7 @@ class Trainer:
                 early_stop_cnt = 0
             else:
                 early_stop_cnt += 1
+            self.save_resume_ckpt(epoch, early_stop_cnt)
             if 0 < patience < early_stop_cnt:
                 self.log("Early stop hitted!")
                 break
@@ -436,6 +442,71 @@ class Trainer:
         with open(self.log_save_dir / name, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
         self.log(f"Model saved at epoch {epoch}")
+
+    def save_resume_ckpt(self, epoch: int, early_stop_cnt: int):
+        """Full-training-state snapshot for mid-training resume — a
+        capability the reference lacks (SURVEY.md §5: 'No mid-training
+        resume — a killed run restarts from epoch 0').  Captures params,
+        batch stats, optimizer state (incl. lookahead slow weights and
+        the injected learning rate), scheduler state, early-stop counter
+        and the epoch, so ``resume()`` continues bit-identically to a
+        straight-through run."""
+        payload = {
+            "args": json.dumps(self.args),
+            "records": json.dumps(self.records),
+            "params": serialization.to_bytes(self.state.params),
+            "batch_stats": serialization.to_bytes(self.state.batch_stats),
+            "opt_state": serialization.to_bytes(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "early_stop_cnt": early_stop_cnt,
+            "scheduler": json.dumps({"best": self.scheduler.best,
+                                     "num_bad": self.scheduler.num_bad}),
+        }
+        with open(self.log_save_dir / "last_save.ckpt", "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def resume(self, run_dir) -> int:
+        """Restore full training state from ``<run_dir>/last_save.ckpt``
+        (or a direct ckpt path) and point this trainer's logging /
+        best-checkpointing at that run dir.  Returns the next epoch;
+        ``train()`` will continue from it."""
+        import shutil
+        path = Path(run_dir)
+        if path.is_dir():
+            path = path / "last_save.ckpt"
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        saved_args = json.loads(payload["args"])
+        for key in ("dataset", "batch_size", "seed", "model_cfg"):
+            if key in saved_args and key in self.args \
+                    and saved_args[key] != self.args[key]:
+                raise ValueError(
+                    f"resume mismatch on {key!r}: checkpoint has "
+                    f"{saved_args[key]!r}, this run has {self.args[key]!r}")
+        self.records = json.loads(payload["records"])
+        sched = json.loads(payload["scheduler"])
+        self.scheduler.best = sched["best"]
+        self.scheduler.num_bad = int(sched["num_bad"])
+        self.state = self.state.replace(
+            params=serialization.from_bytes(self.state.params,
+                                            payload["params"]),
+            batch_stats=serialization.from_bytes(self.state.batch_stats,
+                                                 payload["batch_stats"]),
+            opt_state=serialization.from_bytes(self.state.opt_state,
+                                               payload["opt_state"]),
+            step=int(payload["step"]))
+        self._early_stop_cnt = int(payload["early_stop_cnt"])
+        self._start_epoch = int(payload["epoch"]) + 1
+        # continue the original run dir (logs, best_save) and drop the
+        # fresh one __init__ just created
+        fresh = self.log_save_dir
+        self.log_save_dir = path.parent
+        if fresh != self.log_save_dir:
+            shutil.rmtree(fresh, ignore_errors=True)
+        self.run_id = self.log_save_dir.name
+        self.log(f"Resumed from {path} at epoch {self._start_epoch}")
+        return self._start_epoch
 
     def load_best_ckpt(self):
         path = self.log_save_dir / "best_save.ckpt"

@@ -220,6 +220,79 @@ class TestEndToEnd:
         loss_info, test_result, _ = tr.train_and_test()
         assert "rmse" in test_result
 
+    def test_resume_matches_straight_run(self, tmp_path):
+        """Mid-training resume (beyond the reference, which restarts
+        from epoch 0): 2 epochs + resume for 2 more must produce the
+        SAME params as 4 straight epochs — optimizer state (incl.
+        Ranger lookahead slow weights + injected lr), scheduler state,
+        step counter and shuffle order all survive the round trip."""
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+
+        rng = np.random.RandomState(0)
+        smis = ["CCO", "CCC", "CCCC", "CCCCC", "c1ccccc1", "Cc1ccccc1",
+                "CCN", "CCOC", "CC(C)C", "CC(C)O", "CCS", "CCCl"] * 4
+        df = pd.DataFrame({"smiles": smis, "expt": rng.randn(len(smis))})
+        root = tmp_path / "freesolv"
+        (root / "raw").mkdir(parents=True)
+        df.to_csv(root / "raw" / "freesolv.csv", index=False)
+        base = {"dataset": "freesolv", "dataset_root": str(root),
+                "loss": "mse", "batch_size": 16, "e_dim": 32,
+                "hid_dim_alpha": 2, "message_steps": 1, "seed": 1,
+                "mol_block": "_GCNConv", "optim": "Ranger", "k": 2,
+                "scan_steps": 1}
+
+        # straight-through 4 epochs
+        args, ds, kind = auto_dataset(dict(base, epochs=4))
+        tr_ref = make_trainer(args, ds, kind, work_dir=str(tmp_path / "a"))
+        tr_ref.train()
+
+        # 2 epochs, then resume for 2 more
+        args, ds, kind = auto_dataset(dict(base, epochs=2))
+        tr1 = make_trainer(args, ds, kind, work_dir=str(tmp_path / "b"))
+        tr1.train()
+        run_dir = tr1.log_save_dir
+        assert (run_dir / "last_save.ckpt").exists()
+
+        args, ds, kind = auto_dataset(dict(base, epochs=4))
+        tr2 = make_trainer(args, ds, kind, work_dir=str(tmp_path / "b"))
+        start = tr2.resume(run_dir)
+        assert start == 2
+        assert tr2.log_save_dir == run_dir
+        tr2.train()
+
+        ref_leaves = jax.tree_util.tree_leaves(tr_ref.state.params)
+        res_leaves = jax.tree_util.tree_leaves(tr2.state.params)
+        for a, b in zip(ref_leaves, res_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=0)
+        assert int(tr2.state.step) == int(tr_ref.state.step)
+
+    def test_resume_rejects_mismatched_config(self, tmp_path):
+        import pandas as pd
+        import pytest
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+
+        smis = ["CCO", "CCC", "CCCC", "CCCCC"] * 4
+        df = pd.DataFrame({"smiles": smis,
+                           "expt": np.arange(len(smis), dtype=float)})
+        root = tmp_path / "freesolv"
+        (root / "raw").mkdir(parents=True)
+        df.to_csv(root / "raw" / "freesolv.csv", index=False)
+        base = {"dataset": "freesolv", "dataset_root": str(root),
+                "loss": "mse", "batch_size": 8, "e_dim": 32,
+                "hid_dim_alpha": 2, "message_steps": 1, "seed": 1,
+                "mol_block": "_GCNConv", "epochs": 1}
+        args, ds, kind = auto_dataset(dict(base))
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        tr.train()
+        args, ds, kind = auto_dataset(dict(base, batch_size=4))
+        tr2 = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="batch_size"):
+            tr2.resume(tr.log_save_dir)
+
 
 class TestTrainerUtilities:
     def test_gen_test_batch_and_write_datasets(self, tmp_path):
