@@ -216,9 +216,20 @@ class Trainer:
             state, losses = jax.lax.scan(body, state, stacked)
             return state, jnp.mean(losses)
 
+        def eval_scan(params, batch_stats, stacked):
+            # S stacked eval batches -> ONE dispatch; outputs stay on
+            # device until the group transfer (the tunnel round-trip per
+            # dispatch dominates eval time for small molecule batches).
+            def body(_, parts):
+                return None, eval_step(params, batch_stats, parts)
+
+            _, (outs, losses) = jax.lax.scan(body, None, stacked)
+            return outs, losses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._eval_scan = jax.jit(eval_scan)
 
     # ------------------------------------------------------------------
     def train_iterations(self, rng) -> float:
@@ -258,15 +269,38 @@ class Trainer:
     def _gather(self, mode: str):
         loader = {"valid": self.valid_loader, "test": self.test_loader,
                   "inference": self.test_loader}[mode]
+        scan = int(self.args.get("scan_steps", 8))
         outs, ys, masks, losses = [], [], [], []
-        for batch in loader:
-            parts = self._as_parts(batch)
-            out, loss = self._eval_step(self.state.params,
-                                        self.state.batch_stats, parts)
-            outs.append(np.asarray(out))
-            ys.append(np.asarray(parts[0].y))
-            masks.append(np.asarray(parts[0].graph_mask))
-            losses.append(float(loss))
+        pending: List[Tuple[GraphBatch, ...]] = []
+
+        def flush():
+            if not pending:
+                return
+            if len(pending) == scan and scan > 1:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pending)
+                out, loss = self._eval_scan(self.state.params,
+                                            self.state.batch_stats, stacked)
+                outs.extend(np.asarray(out))            # [S, G, D]
+                losses.extend(float(l) for l in np.asarray(loss))
+            else:
+                for parts in pending:
+                    out, loss = self._eval_step(self.state.params,
+                                                self.state.batch_stats,
+                                                parts)
+                    outs.append(np.asarray(out))
+                    losses.append(float(loss))
+            for parts in pending:
+                ys.append(np.asarray(parts[0].y))
+                masks.append(np.asarray(parts[0].graph_mask))
+            pending.clear()
+
+        from ..data.batching import prefetch
+        for batch in prefetch(iter(loader)):
+            pending.append(self._as_parts(batch))
+            if len(pending) == max(scan, 1):
+                flush()
+        flush()
         m = np.concatenate(masks)
         return (np.concatenate(outs)[m], np.concatenate(ys)[m],
                 float(np.mean(losses)))
