@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, type=str,
                    help="run dir (or last_save.ckpt) to resume "
                         "mid-training from")
+    p.add_argument("--dtype", default="float32", type=str,
+                   help="compute dtype for the fwd/bwd pass (float32 or "
+                        "bfloat16; master params stay float32)")
     return p
 
 

@@ -220,6 +220,42 @@ class TestEndToEnd:
         loss_info, test_result, _ = tr.train_and_test()
         assert "rmse" in test_result
 
+    def test_bfloat16_compute(self, tmp_path):
+        """Mixed precision (--dtype bfloat16): master params stay f32,
+        forward/backward runs in bf16.  Training must stay stable and
+        eval outputs must track the f32 run within bf16 tolerance."""
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(64)
+        root = tmp_path / "demo"
+        (root / "raw").mkdir(parents=True)
+        src.to_csv(root / "raw" / "demo.csv", index=False)
+        base = {"dataset": "demo", "dataset_root": str(root),
+                "loss": "bcel", "epochs": 2, "batch_size": 16,
+                "e_dim": 32, "hid_dim_alpha": 2, "message_steps": 2,
+                "lr": 1e-3, "seed": 1, "scan_steps": 2}
+
+        args, ds, kind = auto_dataset(dict(base, dtype="bfloat16"))
+        tr16 = make_trainer(args, ds, kind, work_dir=str(tmp_path / "bf"))
+        # master params stay f32
+        for p in jax.tree_util.tree_leaves(tr16.state.params):
+            assert p.dtype == jnp.float32
+        li16, _, _ = tr16.train_and_test()
+        assert np.isfinite(li16["valloss"])
+
+        args, ds, kind = auto_dataset(dict(base))
+        tr32 = make_trainer(args, ds, kind, work_dir=str(tmp_path / "f32"))
+        # same init: eval outputs of the untrained models must agree to
+        # bf16 rounding
+        out16, _, _ = tr16._gather("valid")
+        tr16.state = tr16.state.replace(params=tr32.state.params)
+        out16_init, _, _ = tr16._gather("valid")
+        out32_init, _, _ = tr32._gather("valid")
+        np.testing.assert_allclose(out16_init, out32_init,
+                                   rtol=0.05, atol=0.05)
+
     def test_resume_matches_straight_run(self, tmp_path):
         """Mid-training resume (beyond the reference, which restarts
         from epoch 0): 2 epochs + resume for 2 more must produce the
