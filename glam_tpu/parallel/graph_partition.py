@@ -147,6 +147,117 @@ def make_halo_message_step(mesh, axis: str = "graph"):
     return jax.jit(sharded)
 
 
+def build_halo_exchange(senders_global: np.ndarray, edge_mask: np.ndarray,
+                        n_local: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Host-side plan for the boundary-only (v2) halo exchange.
+
+    Given receiver-partitioned edges with GLOBAL sender ids
+    (``split_large_graph`` output: senders_global [D, El],
+    edge_mask [D, El]; shard d owns global nodes
+    [d*n_local, (d+1)*n_local)), computes, for every ordered shard pair
+    (src s -> dst d), the set of s-local nodes d's edges reference.
+
+    Returns
+      send_idx  [D, D, H]  for source shard s: send_idx[s, d] are the
+                           s-LOCAL node ids to ship to shard d
+      send_mask [D, D, H]  True for real halo slots
+      senders_local [D, El] edge senders remapped into shard-d's
+                           concatenated table [local (n_local) ;
+                           halo from shard 0 (H) ; ... ; shard D-1 (H)]
+      H                    halo budget per shard pair (max boundary
+                           size, rounded up to 8)
+
+    Bandwidth per step becomes O(D*H*C) instead of the v1 all-gather's
+    O(D*n_local*C); for graphs partitioned along locality (contact maps,
+    molecular batches) H << n_local."""
+    D, El = senders_global.shape
+    need: List[List[List[int]]] = [[[] for _ in range(D)]
+                                   for _ in range(D)]  # [src][dst]
+    pos: List[dict] = [dict() for _ in range(D)]  # dst -> {global: slot}
+    for d in range(D):
+        for e in range(El):
+            if not edge_mask[d, e]:
+                continue
+            g = int(senders_global[d, e])
+            s = g // n_local
+            if s == d:
+                continue
+            if g not in pos[d]:
+                pos[d][g] = len(need[s][d])
+                need[s][d].append(g - s * n_local)
+    H = max((len(lst) for row in need for lst in row), default=0)
+    H = max(-(-H // 8) * 8, 8)
+    send_idx = np.zeros((D, D, H), np.int32)
+    send_mask = np.zeros((D, D, H), bool)
+    for s in range(D):
+        for d in range(D):
+            lst = need[s][d]
+            send_idx[s, d, :len(lst)] = lst
+            send_mask[s, d, :len(lst)] = True
+    senders_local = np.zeros((D, El), np.int32)
+    for d in range(D):
+        for e in range(El):
+            if not edge_mask[d, e]:
+                continue
+            g = int(senders_global[d, e])
+            s = g // n_local
+            if s == d:
+                senders_local[d, e] = g - d * n_local
+            else:
+                senders_local[d, e] = n_local + s * H + pos[d][g]
+    return send_idx, send_mask, senders_local, H
+
+
+def make_halo_message_step_v2(mesh, axis: str = "graph"):
+    """Boundary-only halo exchange (v2): each shard gathers just the
+    projected features its neighbors need (host-planned send_idx) and
+    swaps them with one ``all_to_all`` over ICI; aggregation then runs
+    against the small [n_local + D*H] table instead of the v1 gathered
+    global table.  Same math as :func:`make_halo_message_step` —
+    oracle-parity tested against :func:`reference_halo_step`."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(params, nodes_l, edges_l, snd_l, rcv_l, emask,
+                   send_idx):
+        nodes_l = nodes_l[0]
+        edges_l = edges_l[0]
+        snd_l = snd_l[0]
+        rcv_l = rcv_l[0]
+        emask = emask[0]
+        send_idx = send_idx[0]                       # [D, H]
+        C = nodes_l.shape[-1]
+        xp_l = nodes_l @ params["weight_node"]       # local projection
+        send = xp_l[send_idx]                        # [D, H, C] halo out
+        # one all-to-all on ICI: shard s's send[d] lands on shard d as
+        # halo[s] — O(D*H*C) bytes vs the v1 all-gather's O(D*Nl*C)
+        halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)       # [D, H, C]
+        table = jnp.concatenate([xp_l, halo.reshape(-1, C)], axis=0)
+        w = params["weight_att"]
+        a_i = xp_l @ w[:C]
+        a_j = table @ w[2 * C:]
+        a_e = edges_l @ params["weight_edge"]
+        logits = a_i[rcv_l] + a_e + a_j[snd_l]
+        logits = jnp.where(emask, logits, -jnp.inf)
+        Nl = nodes_l.shape[0]
+        seg_max = jax.ops.segment_max(logits, rcv_l, num_segments=Nl)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        ex = jnp.where(emask, jnp.exp(logits - seg_max[rcv_l]), 0.0)
+        denom = jax.ops.segment_sum(ex, rcv_l, num_segments=Nl)
+        alpha = ex / (denom[rcv_l] + 1e-16)
+        msg = alpha[:, None] * table[snd_l]
+        out = jax.ops.segment_sum(msg, rcv_l, num_segments=Nl)
+        return out[None]
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(axis))
+    return jax.jit(sharded)
+
+
 def init_halo_params(rng, channels: int, edge_channels: int):
     k1, k2, k3 = jax.random.split(rng, 3)
     bound = (6.0 / channels) ** 0.5
