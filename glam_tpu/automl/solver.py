@@ -52,6 +52,8 @@ class GLAM:
         self.high_fidelity_epochs = high_fidelity_epochs
         self.low_fidelity_epochs = low_fidelity_epochs
         self.platform = platform
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
             # the blend/PASP phases run models in THIS process too
             try:

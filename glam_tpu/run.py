@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", type=str,
                    help="compute dtype for the fwd/bwd pass (float32 or "
                         "bfloat16; master params stay float32)")
+    p.add_argument("--compile_cache", default=None, type=str,
+                   help="persistent XLA compile-cache dir ('off' to "
+                        "disable; default ~/.cache/glam_tpu/xla)")
     return p
 
 
@@ -71,6 +74,8 @@ def main(argv=None):
     if args.get("platform"):
         import jax
         jax.config.update("jax_platforms", args["platform"])
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache(args.pop("compile_cache", None))
     from .data.datasets import auto_dataset
     from .train.trainer import make_trainer
     from .utils.seed import seed_everything

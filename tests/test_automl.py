@@ -88,6 +88,22 @@ class TestSummary:
         assert read_logs(tmp_path / "log_demo") == []
 
 
+class TestCompilationCache:
+    def test_enable_and_disable(self, tmp_path, monkeypatch):
+        import jax
+        from glam_tpu.utils.cache import enable_compilation_cache
+
+        assert enable_compilation_cache("off") is None
+        monkeypatch.setenv("GLAM_TPU_COMPILE_CACHE", "off")
+        assert enable_compilation_cache() is None
+        monkeypatch.delenv("GLAM_TPU_COMPILE_CACHE")
+
+        d = tmp_path / "xla_cache"
+        got = enable_compilation_cache(str(d))
+        assert got == str(d) and d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+
+
 class TestScheduler:
     def test_slots(self):
         from glam_tpu.automl.scheduler import DeviceManager
