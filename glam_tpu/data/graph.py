@@ -54,12 +54,14 @@ class GraphBatch(NamedTuple):
     ell_nbr: Optional[jnp.ndarray] = None    # [N, K] int32 source node idx
     ell_edge: Optional[jnp.ndarray] = None   # [N, K] int32 edge idx
     ell_mask: Optional[jnp.ndarray] = None   # [N, K] bool real-edge slots
-    # Pallas block-packing (ops/pallas/segment_mxu.py): receiver-sorted
-    # edge blocks for the fused softmax+SpMM kernel.  None => XLA path.
+    # Pallas block-packing (ops/pallas/triplet_fused.py): receiver-sorted
+    # edge blocks with joint sender+receiver node windows for the fully
+    # fused attention kernel.  None => XLA path.
     pack_perm: Optional[jnp.ndarray] = None   # [Ep] int32 edge permutation
     pack_local: Optional[jnp.ndarray] = None  # [Ep] int32 local receiver
     pack_start: Optional[jnp.ndarray] = None  # [nblk] int32 window starts
     pack_mask: Optional[jnp.ndarray] = None   # [Ep] bool real-edge slots
+    pack_snd: Optional[jnp.ndarray] = None    # [Ep] int32 local sender
 
     @property
     def num_nodes(self) -> int:
@@ -184,16 +186,19 @@ def pad_graphs(
     graph_mask = np.zeros((G,), bool)
     graph_mask[:g_real] = True
 
-    pk = (None,) * 4
+    pk = (None,) * 5
     if pallas_pack:
-        from ..ops.pallas.segment_mxu import pack_blocks
+        from ..ops.pallas.triplet_fused import blocks_budget, pack_blocks2
         # pack REAL edges only: the padding-node edge run can exceed the
         # kernel's per-receiver block capacity, and padded messages only
-        # ever land in the padding node anyway
-        perm, local, starts, pmask = pack_blocks(receivers[:e_off],
-                                                 num_nodes)
-        pk = (jnp.asarray(perm.astype(np.int32)), jnp.asarray(local),
-              jnp.asarray(starts), jnp.asarray(pmask))
+        # ever land in the padding node anyway.  The block count is
+        # padded to a budget derived from the static (node, edge)
+        # budgets so every batch of one loader compiles to one shape.
+        p2 = pack_blocks2(senders[:e_off], receivers[:e_off], num_nodes,
+                          num_blocks=blocks_budget(num_edges, num_nodes))
+        pk = (jnp.asarray(p2.perm), jnp.asarray(p2.local_rcv),
+              jnp.asarray(p2.win_start), jnp.asarray(p2.edge_mask),
+              jnp.asarray(p2.local_snd))
 
     ell_nbr = ell_edge = ell_mask = None
     if ell_k is not None:
@@ -213,4 +218,4 @@ def pad_graphs(
         edge_mask=jnp.asarray(edge_mask), graph_mask=jnp.asarray(graph_mask),
         y=jnp.asarray(y), ell_nbr=ell_nbr, ell_edge=ell_edge,
         ell_mask=ell_mask, pack_perm=pk[0], pack_local=pk[1],
-        pack_start=pk[2], pack_mask=pk[3])
+        pack_start=pk[2], pack_mask=pk[3], pack_snd=pk[4])

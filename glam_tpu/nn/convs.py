@@ -90,15 +90,20 @@ class TripletMessage(nn.Module):
         a_j = jnp.einsum("nhc,hc->nh", xh, w_j)   # [N, H]
         a_e = jnp.einsum("ehc,hc->eh", eh, w_e)   # [E, H]
         if pack is not None:
-            # fused Pallas block softmax+SpMM (ops/pallas/segment_mxu)
-            from ..ops.pallas.segment_mxu import fused_segment_softmax_spmm
-            logits = _leaky_relu(a_i[receivers] + a_e + a_j[senders],
-                                 self.negative_slope)      # [E, H]
-            values = (eh * xh[senders]).reshape(-1, H * C)
-            perm, local, starts, pmask = pack
-            aggr = fused_segment_softmax_spmm(
-                logits, values, perm, local, starts, pmask, x.shape[0],
-                H, C)
+            # fully-fused Pallas attention step (ops/pallas/triplet_fused):
+            # the kernel recomputes the edge projection and a_e from the
+            # raw edge_attr in-VMEM, so eh/a_e above are dead code XLA
+            # prunes on this branch
+            from ..ops.pallas.triplet_fused import fused_triplet_attention
+            perm, lrcv, lsnd, starts, pmask = pack
+            # block-diagonal [H*C, H] so a_e = (edge_attr @ we) @ wemat
+            head_of = jnp.arange(H * C) // C
+            wemat = (jax.nn.one_hot(head_of, H, dtype=xp.dtype)
+                     * w_e.reshape(-1)[:, None])
+            aggr = fused_triplet_attention(
+                H, C, self.negative_slope, None, xp, a_i, a_j, edge_attr,
+                we, wemat, senders, receivers, perm, lrcv, lsnd, starts,
+                pmask)
         elif ell is not None:
             nbr, eid, mask = ell                  # [N, K]
             logits = _leaky_relu(

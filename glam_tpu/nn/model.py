@@ -92,8 +92,8 @@ class _Tower(nn.Module):
                             res=c.graph_res, name="conv")
         ell = ((g.ell_nbr, g.ell_edge, g.ell_mask)
                if g.ell_nbr is not None else None)
-        pack = ((g.pack_perm, g.pack_local, g.pack_start, g.pack_mask)
-                if g.pack_perm is not None else None)
+        pack = ((g.pack_perm, g.pack_local, g.pack_snd, g.pack_start,
+                 g.pack_mask) if g.pack_perm is not None else None)
         h = None
         xs = []
         for _ in range(self.message_steps):

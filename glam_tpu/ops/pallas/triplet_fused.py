@@ -1,0 +1,549 @@
+"""Pallas TPU kernel v2: fused TripletMessage attention step.
+
+One kernel computes, per receiver-sorted edge block, the reference's
+attention-aggregation inner loop (reference
+/root/reference/src_1gp/layer.py:36-61 — the author-annotated dominant
+cost at :48-49):
+
+    eh    = edge_attr @ We                      (edge projection)
+    pre   = leaky_relu(a_i[rcv] + eh.wemat + a_j[snd])
+    alpha = segment_softmax(pre over incoming edges of rcv)
+    out_r = sum_e alpha * eh * xp[snd]          (scatter-add by receiver)
+
+v1 (:mod:`segment_mxu`) materializes per-edge attention values [E, H*C]
+in HBM; v2 reads only ``edge_attr`` [E, Fe] and the [E, H] node
+attention terms per edge, plus a node-table *window* per block —
+cutting HBM traffic ~15x on the edge axis.  The enabling observation:
+with graphs laid out contiguously (data/graph.py), a block of
+receiver-sorted edges touches senders and receivers inside one narrow
+node window, so
+
+  * the [W_WIN, H*C] window of node projections is DMA'd HBM->VMEM once
+    per block (asynchronously, overlapped with the in-kernel edge
+    projection matmul) — window starts are 8-aligned and the feature
+    width is padded to a lane multiple, per Mosaic's slice rules; and
+  * every gather/scatter becomes a one-hot matmul on the MXU
+    (Mosaic has no general gather; one-hot matmul is the fast path).
+
+A custom VJP makes the op trainable: the backward pass is a second
+Pallas kernel over the same blocks that rematerializes the forward
+(no residuals in HBM) and emits window-level node-projection gradients
+plus per-edge d_eh / d_pre, from which XLA recovers d_edge_attr, d_We,
+d_wemat and the a_i/a_j scatter-grads with small matmuls.
+
+Requires every graph to fit in the node window (w_win, default 128) —
+true for all molecular datasets; giant protein graphs fall back to the
+XLA segment path.  The XLA oracle is ``TripletMessage`` with
+``pack=None`` (glam_tpu/nn/convs.py); parity tests run this kernel in
+interpreter mode on CPU and compiled on the real chip
+(scripts/bench_triplet_fused.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+E_BLOCK2 = 256    # edges per block
+W_WIN = 128       # node window per block (covers all senders+receivers)
+_ALIGN = 8        # window starts rounded down to the f32 sublane
+_LANE = 128       # feature widths padded to the f32 lane tile
+
+
+class PackV2(NamedTuple):
+    """Host-side block packing for the fused kernel (see pack_blocks2)."""
+
+    perm: np.ndarray       # [Ep] int32 edge permutation into block order
+    local_rcv: np.ndarray  # [Ep] int32 receiver index local to the window
+    local_snd: np.ndarray  # [Ep] int32 sender index local to the window
+    win_start: np.ndarray  # [nblk] int32 first node of each block's window
+    edge_mask: np.ndarray  # [Ep] bool True for real edge slots
+
+
+def blocks_budget(edge_budget: int, node_budget: int,
+                  e_block: int = E_BLOCK2, w_win: int = W_WIN) -> int:
+    """Static upper bound on pack_blocks2's block count for a loader
+    budget: blocks close on edge overflow (>= e_block edges each) or on
+    window overflow (the receiver cursor advances by a window-ish node
+    span each time).  Padded blocks are skipped by the kernel via
+    predication, so a loose bound costs ~nothing."""
+    return (-(-edge_budget // e_block) + -(-node_budget // (w_win // 2))
+            + 2)
+
+
+def pack_blocks2(senders: np.ndarray, receivers: np.ndarray,
+                 num_nodes: int, e_block: int = E_BLOCK2,
+                 w_win: int = W_WIN, num_blocks: int = None) -> PackV2:
+    """Pack receiver-sorted edges into blocks with joint node windows.
+
+    Guarantees: all edges of one receiver land in one block; every
+    sender AND receiver of a block lies in ``[win_start, win_start +
+    w_win)`` with win_start a multiple of 8.  Raises ValueError when a
+    single receiver's edge run exceeds ``e_block`` or its node span
+    exceeds ``w_win`` (caller should fall back to the XLA path).
+
+    ``num_blocks`` pads the result to a static block count (all-masked
+    trailing blocks, skipped by the kernel) so batches of one loader
+    share one compiled shape; raises if the packing needs more.
+    """
+    E = len(receivers)
+    order = np.argsort(receivers, kind="stable")
+    rsorted = receivers[order]
+    runs = []  # (edge ids, lo, hi) per receiver, window-aligned lo
+    i = 0
+    while i < E:
+        j = i
+        while j < E and rsorted[j] == rsorted[i]:
+            j += 1
+        ids = order[i:j]
+        touched_lo = min(int(rsorted[i]), int(senders[ids].min()))
+        touched_hi = max(int(rsorted[i]), int(senders[ids].max())) + 1
+        lo = (touched_lo // _ALIGN) * _ALIGN
+        if touched_hi - lo > w_win:
+            raise ValueError(
+                f"receiver {int(rsorted[i])}: node span "
+                f"[{touched_lo},{touched_hi}) exceeds window {w_win}")
+        if len(ids) > e_block:
+            raise ValueError(
+                f"receiver {int(rsorted[i])} has {len(ids)} edges "
+                f"> e_block {e_block}")
+        runs.append((ids, lo, touched_hi))
+        i = j
+    blocks = []  # (edge ids, win_start)
+    cur_ids: list = []
+    cur_lo = cur_hi = 0
+    for ids, lo, hi in runs:
+        if cur_ids:
+            nlo, nhi = min(cur_lo, lo), max(cur_hi, hi)
+            if len(cur_ids) + len(ids) <= e_block and nhi - nlo <= w_win:
+                cur_ids.extend(ids.tolist())
+                cur_lo, cur_hi = nlo, nhi
+                continue
+            blocks.append((np.asarray(cur_ids), cur_lo))
+        cur_ids = ids.tolist()
+        cur_lo, cur_hi = lo, hi
+    if cur_ids:
+        blocks.append((np.asarray(cur_ids), cur_lo))
+    if not blocks:
+        blocks = [(np.zeros(0, np.int64), 0)]
+    if num_blocks is not None:
+        if len(blocks) > num_blocks:
+            raise ValueError(
+                f"packing needs {len(blocks)} blocks > budget "
+                f"{num_blocks}")
+        blocks.extend([(np.zeros(0, np.int64), 0)]
+                      * (num_blocks - len(blocks)))
+    nblk = len(blocks)
+    perm = np.zeros((nblk, e_block), np.int64)
+    lrcv = np.zeros((nblk, e_block), np.int32)
+    lsnd = np.zeros((nblk, e_block), np.int32)
+    mask = np.zeros((nblk, e_block), bool)
+    starts = np.zeros((nblk,), np.int32)
+    for b, (ids, start) in enumerate(blocks):
+        n = len(ids)
+        perm[b, :n] = ids
+        lrcv[b, :n] = receivers[ids] - start
+        lsnd[b, :n] = senders[ids] - start
+        mask[b, :n] = True
+        starts[b] = start
+    return PackV2(perm.reshape(-1).astype(np.int32), lrcv.reshape(-1),
+                  lsnd.reshape(-1), starts, mask.reshape(-1))
+
+
+def _expander(num_heads: int, channels: int, padded: int):
+    """Static 0/1 [_LANE, padded] matrix expanding per-head values
+    across the head-major channel axis (col // C == row, zero for the
+    pad rows >= H).  Mosaic supports neither repeat nor reshape here —
+    expansion is a matmul.  The head axis is padded to a full lane
+    tile: Mosaic silently degrades sub-tile matmuls to bf16 even at
+    Precision.HIGHEST (measured ~1e-2 error on K=4 / N=3 dots, exact
+    at 128), so every in-kernel dot keeps all dims at tile multiples."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (_LANE, padded), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, padded), 0)
+    return ((col // channels == row) & (row < num_heads)).astype(
+        jnp.float32)
+
+
+def _pad_cols(x, width):
+    """Zero-pad a 2-D value to ``width`` lanes (in-kernel, free)."""
+    eb, w = x.shape
+    if w == width:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((eb, width - w), jnp.float32)], axis=1)
+
+
+def _pad_rows_k(x, rows):
+    """Zero-pad a 2-D value to ``rows`` sublanes (in-kernel, free)."""
+    r, w = x.shape
+    if r == rows:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows - r, w), jnp.float32)], axis=0)
+
+
+def _onehot(local, maskf, w_win, eb):
+    """[W, E] scatter matrix: 1 iff local[e]==w and edge real."""
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (w_win, eb), 0)
+    oh = (w_ids == local[:, 0][None, :]).astype(jnp.float32)
+    return oh * maskf[:, 0][None, :]
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _attention_core(eh, pre0, oh_rcv, oh_snd, xp_w, wemat_p, maskf,
+                    num_heads, slope):
+    """Shared forward recompute: returns (pre_raw, alpha, xj).
+
+    The head axis runs lane-padded at _LANE width throughout (pad lanes
+    carry harmless junk that every consumer masks via the expander /
+    zero pad columns of eh) — see :func:`_expander` for why."""
+    w_win = oh_rcv.shape[0]
+    a_e = _dot(eh, wemat_p)                             # [E, L]
+    pre_raw = _pad_cols(pre0, _LANE) + a_e
+    pre = jnp.where(pre_raw >= 0, pre_raw, slope * pre_raw)
+    emaskf = maskf[:, 0][:, None]                       # [E, 1]
+    # segment softmax over the block (PyG semantics, 1e-16 eps).
+    # per-receiver max via masked positive shift (cf. segment_mxu.py)
+    lmin = jnp.min(pre)
+    pos = (pre - lmin + 1.0) * emaskf                   # >=1 real, 0 pad
+    wmax_cols = []
+    for h in range(num_heads):
+        per_w = oh_rcv * pos[:, h][None, :]             # [W, E]
+        wmax_cols.append(jnp.max(per_w, axis=1, keepdims=True))
+    wmax_cols.append(jnp.zeros((w_win, _LANE - num_heads), jnp.float32))
+    wmax = jnp.concatenate(wmax_cols, axis=1) + (lmin - 1.0)   # [W, L]
+    edge_max = _dot(oh_rcv.T, wmax)                     # [E, L]
+    # zero the pad head-lanes before exp: their shifted logits are
+    # (0 - (lmin-1)) which overflows exp for very negative lmin, and a
+    # downstream inf * 0 would NaN the expander matmul
+    head = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1) < num_heads
+    shifted = (pre - edge_max) * emaskf * head.astype(jnp.float32)
+    ex = jnp.exp(shifted) * emaskf
+    denom = _dot(oh_rcv, ex)                            # [W, L]
+    inv = 1.0 / (denom + 1e-16)
+    alpha = ex * _dot(oh_rcv.T, inv)                    # [E, L]
+    xj = _dot(oh_snd.T, xp_w)                           # [E, HCp] gather
+    return pre_raw, alpha, xj
+
+
+def _fwd_kernel(starts_ref, counts_ref, xp_ref, pre0_ref, ea_ref,
+                lrcv_ref, lsnd_ref, mask_ref, we_ref, wemat_ref,
+                out_ref, xp_w, sems, *, num_heads, channels, slope,
+                w_win):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+
+    # padding blocks (static-shape batching) carry zero edges: skip all
+    # compute, emit a zero window
+    @pl.when(counts_ref[b] == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(counts_ref[b] > 0)
+    def _():
+        # pack_blocks2 aligns window starts to the f32 sublane; Mosaic
+        # needs the hint to allow the dynamic memref slice
+        start = pl.multiple_of(starts_ref[b], _ALIGN)
+        dma = pltpu.make_async_copy(xp_ref.at[pl.ds(start, w_win), :],
+                                    xp_w, sems.at[0])
+        dma.start()
+        # overlap the window DMA with the edge projection matmul (K
+        # padded to a full tile — sub-tile contractions lose precision,
+        # see _expander)
+        eh = _dot(_pad_cols(ea_ref[0], _LANE),
+                  _pad_rows_k(we_ref[...], _LANE))      # [E, HCp]
+        maskf = mask_ref[0]
+        eb = eh.shape[0]
+        oh_rcv = _onehot(lrcv_ref[0], maskf, w_win, eb)
+        oh_snd = _onehot(lsnd_ref[0], maskf, w_win, eb)
+        dma.wait()
+        wemat_p = _pad_cols(wemat_ref[...], _LANE)      # [HCp, L]
+        _, alpha, xj = _attention_core(
+            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[...], wemat_p,
+            maskf, num_heads, slope)
+        expander = _expander(num_heads, channels, eh.shape[1])
+        alpha_full = _dot(alpha, expander)              # [E, HCp]
+        out_ref[0] = _dot(oh_rcv, alpha_full * eh * xj)  # [W, HCp]
+
+
+def _bwd_kernel(starts_ref, counts_ref, xp_ref, g_ref, pre0_ref, ea_ref,
+                lrcv_ref, lsnd_ref, mask_ref, we_ref, wemat_ref,
+                wematT_ref, dxp_ref, deh_ref, dpre_ref,
+                xp_w, g_w, sems, *, num_heads, channels, slope, w_win):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+
+    @pl.when(counts_ref[b] == 0)
+    def _():
+        dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
+        deh_ref[0] = jnp.zeros_like(deh_ref[0])
+        dpre_ref[0] = jnp.zeros_like(dpre_ref[0])
+
+    @pl.when(counts_ref[b] > 0)
+    def _():
+        start = pl.multiple_of(starts_ref[b], _ALIGN)
+        copies = [
+            pltpu.make_async_copy(xp_ref.at[pl.ds(start, w_win), :],
+                                  xp_w, sems.at[0]),
+            pltpu.make_async_copy(g_ref.at[pl.ds(start, w_win), :], g_w,
+                                  sems.at[1]),
+        ]
+        for c in copies:
+            c.start()
+        eh = _dot(_pad_cols(ea_ref[0], _LANE),
+                  _pad_rows_k(we_ref[...], _LANE))      # [E, HCp]
+        maskf = mask_ref[0]
+        eb = eh.shape[0]
+        oh_rcv = _onehot(lrcv_ref[0], maskf, w_win, eb)
+        oh_snd = _onehot(lsnd_ref[0], maskf, w_win, eb)
+        for c in copies:
+            c.wait()
+        wemat_p = _pad_cols(wemat_ref[...], _LANE)      # [HCp, L]
+        pre_raw, alpha, xj = _attention_core(
+            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[...], wemat_p, maskf,
+            num_heads, slope)
+        expander = _expander(num_heads, channels, eh.shape[1])
+        alpha_full = _dot(alpha, expander)
+        values = eh * xj                                # [E, HCp]
+        grcv = _dot(oh_rcv.T, g_w[...])                 # [E, HCp]
+        dvalues = alpha_full * grcv
+        # softmax backward: dpre = a*(da - sum_seg a*da), via leaky_relu
+        dalpha = _dot(values * grcv, expander.T)        # [E, L]
+        s_e = _dot(oh_rcv.T, _dot(oh_rcv, alpha * dalpha))   # [E, L]
+        dpre = alpha * (dalpha - s_e)
+        dpre = dpre * jnp.where(pre_raw >= 0, 1.0, slope)
+        dpre = dpre * maskf[:, 0][:, None]              # pad lanes zero
+        dxp_ref[0] = _dot(oh_snd, dvalues * eh)         # [W, HCp]
+        # d_eh: values path + attention path (wemat.T padded to L
+        # sublanes; dpre pad lanes are zero so the contraction is exact)
+        wematT_p = _pad_rows_k(wematT_ref[...], _LANE)  # [L, HCp]
+        deh_ref[0] = dvalues * xj + _dot(dpre, wematT_p)   # [E, HCp]
+        dpre_ref[0] = dpre                              # [E, L]
+
+
+def _overlap_add(windows, win_start, num_nodes, w_win):
+    """Scatter per-block [W, C] windows back into the [N, C] node table."""
+    cols = windows.shape[-1]
+    out = jnp.zeros((num_nodes + w_win, cols), jnp.float32)
+    idx = win_start[:, None] + jnp.arange(w_win)[None, :]
+    return out.at[idx.reshape(-1)].add(windows.reshape(-1, cols))[:num_nodes]
+
+
+def _pad_lanes(x, lanes):
+    pad = (-x.shape[1]) % lanes
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
+
+def _pad_table(x, w_win, lanes):
+    """Pad a node table for windowed DMA: +w_win rows (window overhang),
+    lane-multiple feature width (Mosaic slice alignment)."""
+    return _pad_lanes(jnp.pad(x, ((0, w_win), (0, 0))), lanes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_triplet_attention(num_heads, channels, slope, interpret,
+                            xp, a_i, a_j, edge_attr, we, wemat,
+                            senders, receivers, perm, lrcv, lsnd,
+                            win_start, edge_mask):
+    """Fused TripletMessage attention-aggregation (differentiable).
+
+    Args (array shapes): xp [N, H*C] node projections (head-major);
+    a_i/a_j [N, H] receiver/sender attention terms; edge_attr [E, Fe]
+    RAW edge features in original order; we [Fe, H*C] edge projection;
+    wemat [H*C, H] block-diagonal per-head attention-edge weights
+    (a_e = (edge_attr @ we) @ wemat); senders/receivers [E]; pack
+    arrays from :func:`pack_blocks2`.  Returns [N, H*C] aggregated
+    messages.
+    """
+    out, _ = _forward(num_heads, channels, slope, interpret, xp, a_i,
+                      a_j, edge_attr, we, wemat, senders, receivers,
+                      perm, lrcv, lsnd, win_start, edge_mask)
+    return out
+
+
+def _prep(xp, a_i, a_j, edge_attr, we, wemat, senders, receivers, perm,
+          edge_mask, nblk):
+    """Shared fwd/bwd host-side prep: permuted blocked edge inputs and
+    lane-padded weights/tables."""
+    eb = perm.shape[0] // nblk
+    fe = edge_attr.shape[1]
+    # per-edge node attention terms, gathered by XLA (only [E, H]);
+    # padded block slots repeat edge 0 but are masked in-kernel
+    pre0 = (a_i[receivers] + a_j[senders])[perm].reshape(nblk, eb, -1)
+    ea = edge_attr[perm].reshape(nblk, eb, fe)
+    # edge_mask is already in block layout (pack_blocks2 output)
+    mk = edge_mask.astype(jnp.float32).reshape(nblk, eb, 1)
+    we_p = _pad_lanes(we, _LANE)
+    wemat_p = jnp.pad(wemat, ((0, we_p.shape[1] - wemat.shape[0]),
+                              (0, 0)))
+    xp_p = _pad_table(xp, W_WIN, _LANE)
+    return pre0, ea, mk, we_p, wemat_p, xp_p
+
+
+def _edge_specs(eb, fe, hcp, h, with_wemat_t=False):
+    """Blocked VMEM specs for the per-edge inputs + resident weights."""
+    from jax.experimental import pallas as pl
+
+    specs = [
+        pl.BlockSpec((1, eb, h), lambda b, *s: (b, 0, 0)),     # pre0
+        pl.BlockSpec((1, eb, fe), lambda b, *s: (b, 0, 0)),    # edge_attr
+        pl.BlockSpec((1, eb, 1), lambda b, *s: (b, 0, 0)),     # local rcv
+        pl.BlockSpec((1, eb, 1), lambda b, *s: (b, 0, 0)),     # local snd
+        pl.BlockSpec((1, eb, 1), lambda b, *s: (b, 0, 0)),     # edge mask
+        pl.BlockSpec((fe, hcp), lambda b, *s: (0, 0)),         # We
+        pl.BlockSpec((hcp, h), lambda b, *s: (0, 0)),          # wemat
+    ]
+    if with_wemat_t:
+        specs.append(pl.BlockSpec((h, hcp), lambda b, *s: (0, 0)))
+    return specs
+
+
+def _forward(num_heads, channels, slope, interpret, xp, a_i, a_j,
+             edge_attr, we, wemat, senders, receivers, perm, lrcv,
+             lsnd, win_start, edge_mask):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = xp.shape[0]
+    H, C = num_heads, channels
+    hc, fe = H * C, edge_attr.shape[1]
+    nblk = win_start.shape[0]
+    eb = perm.shape[0] // nblk
+    pre0, ea, mk, we_p, wemat_p, xp_p = _prep(
+        xp, a_i, a_j, edge_attr, we, wemat, senders, receivers, perm,
+        edge_mask, nblk)
+    hcp = we_p.shape[1]
+    lr = lrcv.reshape(nblk, eb, 1)
+    ls = lsnd.reshape(nblk, eb, 1)
+
+    counts = edge_mask.reshape(nblk, eb).sum(axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)]
+                  + _edge_specs(eb, fe, hcp, H)),
+        out_specs=pl.BlockSpec((1, W_WIN, hcp), lambda b, *s: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W_WIN, hcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    kern = functools.partial(_fwd_kernel, num_heads=H, channels=C,
+                             slope=slope, w_win=W_WIN)
+    windows = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, W_WIN, hcp), jnp.float32),
+        interpret=interpret,
+    )(win_start, counts, xp_p, pre0, ea, lr, ls, mk, we_p,
+      wemat_p)
+    out = _overlap_add(windows[..., :hc], win_start, N, W_WIN)
+    return out, (xp, a_i, a_j, edge_attr, we, wemat, senders, receivers,
+                 perm, lrcv, lsnd, win_start, edge_mask)
+
+
+def _backward(num_heads, channels, slope, interpret, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (xp, a_i, a_j, edge_attr, we, wemat, senders, receivers, perm, lrcv,
+     lsnd, win_start, edge_mask) = res
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = xp.shape[0]
+    H, C = num_heads, channels
+    hc, fe = H * C, edge_attr.shape[1]
+    nblk = win_start.shape[0]
+    eb = perm.shape[0] // nblk
+    pre0, ea, mk, we_p, wemat_p, xp_p = _prep(
+        xp, a_i, a_j, edge_attr, we, wemat, senders, receivers, perm,
+        edge_mask, nblk)
+    hcp = we_p.shape[1]
+    lr = lrcv.reshape(nblk, eb, 1)
+    ls = lsnd.reshape(nblk, eb, 1)
+    g_p = _pad_table(g, W_WIN, _LANE)
+
+    counts = edge_mask.reshape(nblk, eb).sum(axis=1).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblk,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                  + _edge_specs(eb, fe, hcp, H, with_wemat_t=True)),
+        out_specs=[
+            pl.BlockSpec((1, W_WIN, hcp), lambda b, *s: (b, 0, 0)),
+            pl.BlockSpec((1, eb, hcp), lambda b, *s: (b, 0, 0)),
+            pl.BlockSpec((1, eb, _LANE), lambda b, *s: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W_WIN, hcp), jnp.float32),
+            pltpu.VMEM((W_WIN, hcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(_bwd_kernel, num_heads=H, channels=C,
+                             slope=slope, w_win=W_WIN)
+    dxp_w, deh_b, dpre_b = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, W_WIN, hcp), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, eb, hcp), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, eb, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(win_start, counts, xp_p, g_p, pre0, ea, lr, ls, mk, we_p,
+      wemat_p, wemat_p.T)
+    dxp = _overlap_add(dxp_w[..., :hc], win_start, N, W_WIN)
+    # un-permute per-edge grads to original edge order (padded block
+    # slots are exact zeros in-kernel, so scatter-add is exact)
+    E = edge_attr.shape[0]
+    mflat = edge_mask.astype(jnp.float32)[:, None]
+    deh = jnp.zeros((E, hc), jnp.float32).at[perm].add(
+        deh_b.reshape(-1, hcp)[:, :hc] * mflat)
+    dpre = jnp.zeros((E, H), jnp.float32).at[perm].add(
+        dpre_b.reshape(-1, _LANE)[:, :H] * mflat)
+    # remaining grads via small XLA ops (eh recomputed once)
+    eh = edge_attr @ we
+    dea = deh @ we.T
+    dwe = edge_attr.T @ deh
+    dwemat = eh.T @ dpre
+    dai = jnp.zeros_like(a_i).at[receivers].add(dpre)
+    daj = jnp.zeros_like(a_j).at[senders].add(dpre)
+    return (dxp, dai, daj, dea, dwe, dwemat, None, None, None, None,
+            None, None, None)
+
+
+def _forward_fwd(num_heads, channels, slope, interpret, *args):
+    return _forward(num_heads, channels, slope, interpret, *args)
+
+
+fused_triplet_attention.defvjp(_forward_fwd, _backward)
+
+
+def triplet_attention_reference(xp, a_i, a_j, edge_attr, we, wemat,
+                                senders, receivers, num_heads, channels,
+                                slope=0.2):
+    """XLA oracle with identical semantics (original edge order)."""
+    from ..segment import segment_softmax, segment_sum
+    H, C = num_heads, channels
+    eh = edge_attr @ we                                  # [E, H*C]
+    a_e = eh @ wemat                                     # [E, H]
+    pre = a_i[receivers] + a_e + a_j[senders]
+    pre = jnp.where(pre >= 0, pre, slope * pre)
+    alpha = segment_softmax(pre, receivers, xp.shape[0])
+    alpha_full = jnp.repeat(alpha, C, axis=1)
+    return segment_sum(alpha_full * eh * xp[senders], receivers,
+                       xp.shape[0])

@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compile_cache", default=None, type=str,
                    help="persistent XLA compile-cache dir ('off' to "
                         "disable; default ~/.cache/glam_tpu/xla)")
+    p.add_argument("--pallas", default=0, type=int,
+                   help="1 = use the fused Pallas attention kernel for "
+                        "_TripletMessage (ops/pallas/triplet_fused)")
     return p
 
 

@@ -138,10 +138,16 @@ class Trainer:
         bs = int(self.args.get("batch_size", 32))
         seed = int(self.args.get("seed", 1234))
         nt = self.num_tasks
+        # fused Pallas attention path: only _TripletMessage consumes the
+        # block packing, and giant graphs can exceed its node window
+        pp = bool(int(self.args.get("pallas", 0))) \
+            and self.args.get("mol_block") == "_TripletMessage"
         self.train_loader = GraphLoader(train_graphs, bs, nt, shuffle=True,
-                                        seed=seed)
-        self.valid_loader = GraphLoader(valid_graphs, 32, nt)
-        self.test_loader = (GraphLoader(test_graphs, 32, nt)
+                                        seed=seed, pallas_pack=pp)
+        self.valid_loader = GraphLoader(valid_graphs, 32, nt,
+                                        pallas_pack=pp)
+        self.test_loader = (GraphLoader(test_graphs, 32, nt,
+                                        pallas_pack=pp)
                             if test_graphs else None)
 
     def _make_loss(self):

@@ -95,7 +95,8 @@ class TestConvIntegration:
         packed = next(iter(GraphLoader(sample_graphs, 6, 1,
                                        pallas_pack=True)))
         plain = packed._replace(pack_perm=None, pack_local=None,
-                                pack_start=None, pack_mask=None)
+                                pack_start=None, pack_mask=None,
+                                pack_snd=None)
         v = model.init(jax.random.PRNGKey(0), plain, True)
         a = np.asarray(model.apply(v, plain, True))
         b = np.asarray(model.apply(v, packed, True))
@@ -117,7 +118,8 @@ class TestPackWithPadding:
                           mol_block="_TripletMessage")
         model = Architecture(cfg)
         plain = batch._replace(pack_perm=None, pack_local=None,
-                               pack_start=None, pack_mask=None)
+                               pack_start=None, pack_mask=None,
+                               pack_snd=None)
         v = model.init(jax.random.PRNGKey(0), plain, True)
         a = np.asarray(model.apply(v, plain, True))
         b = np.asarray(model.apply(v, batch, True))
