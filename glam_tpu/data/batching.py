@@ -58,6 +58,35 @@ def max_graph_nodes(graphs: Sequence[GraphArrays]) -> int:
     return max((g.nodes.shape[0] for g in graphs), default=1)
 
 
+def _measure_pack_budget(graphs: Sequence[GraphArrays], batch_size: int,
+                         node_budget: int, margin: float = 1.3,
+                         slack: int = 4) -> int:
+    """Static Pallas block budget for a loader: pre-pack the epoch-0
+    batches and take the measured max with a safety margin (shuffled
+    epochs repartition the same graphs, so the per-batch block count
+    barely moves).  Capped by the loose analytic worst case.  A batch
+    that still overflows raises a clear ValueError from pack_blocks2 —
+    rerun without --pallas."""
+    from ..ops.pallas.triplet_fused import blocks_budget, pack_blocks2
+    worst = 1
+    for i in range(0, len(graphs), batch_size):
+        chunk = graphs[i:i + batch_size]
+        snd, rcv, off = [], [], 0
+        for g in chunk:
+            snd.append(g.senders + off)
+            rcv.append(g.receivers + off)
+            off += g.nodes.shape[0]
+        if not snd:
+            continue
+        p = pack_blocks2(np.concatenate(snd), np.concatenate(rcv),
+                         node_budget)
+        worst = max(worst, len(p.win_start))
+    edge_budget = max((sum(sorted((g.senders.shape[0] for g in graphs),
+                                  reverse=True)[:batch_size])), 1)
+    return min(int(worst * margin) + slack,
+               blocks_budget(edge_budget, node_budget))
+
+
 class GraphLoader:
     """Iterates fixed-shape GraphBatches over a list of featurized graphs.
 
@@ -96,6 +125,10 @@ class GraphLoader:
             edge_budget = _round_up(max(sum(es[:batch_size]), 1))
         self.node_budget = node_budget
         self.edge_budget = edge_budget
+        self.pack_num_blocks = None
+        if pallas_pack:
+            self.pack_num_blocks = _measure_pack_budget(
+                self.graphs, batch_size, self.node_budget)
 
     def __len__(self) -> int:
         return math.ceil(len(self.graphs) / self.batch_size)
@@ -114,7 +147,8 @@ class GraphLoader:
             yield pad_graphs(chunk, self.batch_size, self.node_budget,
                              self.edge_budget, self.num_tasks,
                              ell_k=self.ell_k,
-                             pallas_pack=self.pallas_pack)
+                             pallas_pack=self.pallas_pack,
+                             pack_num_blocks=self.pack_num_blocks)
 
 
 class PairGraphLoader:
@@ -126,13 +160,17 @@ class PairGraphLoader:
 
     def __init__(self, pairs: Sequence[Tuple[GraphArrays, GraphArrays]],
                  batch_size: int, num_tasks: int, shuffle: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, pallas_pack1: bool = False,
+                 pallas_pack2: bool = False):
         self.pairs = list(pairs)
         self.batch_size = batch_size
         self.num_tasks = num_tasks
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.pallas_pack1 = pallas_pack1
+        self.pallas_pack2 = pallas_pack2
+        self.pack_num_blocks1 = self.pack_num_blocks2 = None
         g1s = [p[0] for p in self.pairs]
         g2s = [p[1] for p in self.pairs]
 
@@ -146,6 +184,12 @@ class PairGraphLoader:
         self.budget2 = budget(g2s)
         self.ell_k1 = None
         self.ell_k2 = None
+        if pallas_pack1:
+            self.pack_num_blocks1 = _measure_pack_budget(
+                g1s, batch_size, self.budget1[0])
+        if pallas_pack2:
+            self.pack_num_blocks2 = _measure_pack_budget(
+                g2s, batch_size, self.budget2[0])
 
     def __len__(self) -> int:
         return math.ceil(len(self.pairs) / self.batch_size)
@@ -160,8 +204,12 @@ class PairGraphLoader:
             chunk = [self.pairs[j] for j in order[i:i + self.batch_size]]
             b1 = pad_graphs([p[0] for p in chunk], self.batch_size,
                             *self.budget1, self.num_tasks,
-                            ell_k=self.ell_k1)
+                            ell_k=self.ell_k1,
+                            pallas_pack=self.pallas_pack1,
+                            pack_num_blocks=self.pack_num_blocks1)
             b2 = pad_graphs([p[1] for p in chunk], self.batch_size,
                             *self.budget2, self.num_tasks,
-                            ell_k=self.ell_k2)
+                            ell_k=self.ell_k2,
+                            pallas_pack=self.pallas_pack2,
+                            pack_num_blocks=self.pack_num_blocks2)
             yield b1, b2

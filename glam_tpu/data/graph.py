@@ -128,6 +128,7 @@ def pad_graphs(
     num_tasks: Optional[int] = None,
     ell_k: Optional[int] = None,
     pallas_pack: bool = False,
+    pack_num_blocks: Optional[int] = None,
 ) -> GraphBatch:
     """Pack ``graphs`` into one static-shape :class:`GraphBatch`.
 
@@ -192,10 +193,13 @@ def pad_graphs(
         # pack REAL edges only: the padding-node edge run can exceed the
         # kernel's per-receiver block capacity, and padded messages only
         # ever land in the padding node anyway.  The block count is
-        # padded to a budget derived from the static (node, edge)
-        # budgets so every batch of one loader compiles to one shape.
+        # padded to a static budget (measured by the loader, or the
+        # analytic worst case) so every batch of one loader compiles to
+        # one shape; all-masked pad blocks are skipped in-kernel.
+        if pack_num_blocks is None:
+            pack_num_blocks = blocks_budget(num_edges, num_nodes)
         p2 = pack_blocks2(senders[:e_off], receivers[:e_off], num_nodes,
-                          num_blocks=blocks_budget(num_edges, num_nodes))
+                          num_blocks=pack_num_blocks)
         pk = (jnp.asarray(p2.perm), jnp.asarray(p2.local_rcv),
               jnp.asarray(p2.win_start), jnp.asarray(p2.edge_mask),
               jnp.asarray(p2.local_snd))

@@ -78,10 +78,18 @@ class PairTrainer(Trainer):
         bs = int(self.args.get("batch_size", 32))
         seed = int(self.args.get("seed", 1234))
         nt = self.num_tasks
+        # fused Pallas attention: mol towers only; the hetero protein
+        # tower keeps the XLA path (giant contact-map graphs exceed the
+        # kernel's node window)
+        pp = bool(int(self.args.get("pallas", 0)))
+        hetero = bool(getattr(self.model, "hetero", False))
+        pp1 = pp and self.args.get("mol_block") == "_TripletMessage"
+        pp2 = pp1 and not hetero
+        kw = dict(pallas_pack1=pp1, pallas_pack2=pp2)
         self.train_loader = PairGraphLoader(train_graphs, bs, nt,
-                                            shuffle=True, seed=seed)
-        self.valid_loader = PairGraphLoader(valid_graphs, 32, nt)
-        self.test_loader = (PairGraphLoader(test_graphs, 32, nt)
+                                            shuffle=True, seed=seed, **kw)
+        self.valid_loader = PairGraphLoader(valid_graphs, 32, nt, **kw)
+        self.test_loader = (PairGraphLoader(test_graphs, 32, nt, **kw)
                             if test_graphs else None)
 
     def _make_loss(self):

@@ -168,3 +168,33 @@ class TestModelGradParity:
                 np.asarray(b), np.asarray(a), rtol=5e-4,
                 atol=5e-5 * scale,
                 err_msg=f"param grad mismatch at {path}")
+
+
+class TestPairPallas:
+    def test_ddi_train_slice_with_pallas(self, tmp_path):
+        """DDI twin-tower training end-to-end on the fused pack path."""
+        import pandas as pd
+        from glam_tpu.data.pair_datasets import DDIDataset
+        from glam_tpu.train.pair_trainer import make_ddi_trainer
+        root = tmp_path / "ddi"
+        (root / "raw").mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        smis = ["CCO", "CCC", "c1ccccc1", "CCN", "CCOC", "CC(C)C",
+                "CCS", "c1ccncc1"]
+        rows = []
+        for _ in range(40):
+            s1, s2 = rng.choice(smis, 2, replace=False)
+            rows.append({"Drug1_SMILES": s1, "Drug2_SMILES": s2,
+                         "label": int(rng.rand() > 0.5)})
+        pd.DataFrame(rows).to_csv(root / "raw" / "drugbank_caster.csv",
+                                  index=False)
+        ds = DDIDataset(str(root))
+        args = {"dataset": "drugbank_caster", "epochs": 1,
+                "batch_size": 16, "e_dim": 32, "hid_dim_alpha": 2,
+                "message_steps": 1, "seed": 1, "loss": "bcel",
+                "mol_block": "_TripletMessage", "pallas": 1}
+        tr = make_ddi_trainer(args, ds, work_dir=str(tmp_path))
+        assert tr.train_loader.pallas_pack1 and tr.train_loader.pallas_pack2
+        loss_info, test_result, _ = tr.train_and_test()
+        assert np.isfinite(loss_info["valloss"])
+        assert "auc" in test_result
