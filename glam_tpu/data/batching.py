@@ -87,6 +87,54 @@ def _measure_pack_budget(graphs: Sequence[GraphArrays], batch_size: int,
                blocks_budget(edge_budget, node_budget))
 
 
+_PACK_ERR_MARKS = ("blocks > budget", "exceeds window", "> e_block")
+
+
+def _pad_with_pack_recovery(loader, chunk, num_graphs, node_budget,
+                            edge_budget, num_tasks, ell_k,
+                            which: str = ""):
+    """pad_graphs with Pallas pack-overflow recovery.
+
+    A reshuffled epoch can (rarely) compose a batch whose block packing
+    exceeds the measured budget; instead of killing the run mid-epoch
+    from the prefetch thread, grow the budget (one recompile) or, when
+    the packing is structurally impossible (single-receiver span/edge-run
+    overflow), permanently fall back to the XLA segment path for this
+    loader.  The trainer's scan-flush handles the mixed batch shapes."""
+    pack_attr = f"pack_num_blocks{which}"
+    use_attr = f"pallas_pack{which}"
+    use = getattr(loader, use_attr)
+    try:
+        return pad_graphs(chunk, num_graphs, node_budget, edge_budget,
+                          num_tasks, ell_k=ell_k, pallas_pack=use,
+                          pack_num_blocks=getattr(loader, pack_attr))
+    except ValueError as exc:
+        if not use or not any(m in str(exc) for m in _PACK_ERR_MARKS):
+            raise
+    # measure the true block need of this batch
+    from ..ops.pallas.triplet_fused import pack_blocks2
+    snd, rcv, off = [], [], 0
+    for g in chunk:
+        snd.append(g.senders + off)
+        rcv.append(g.receivers + off)
+        off += g.nodes.shape[0]
+    try:
+        p = pack_blocks2(np.concatenate(snd), np.concatenate(rcv),
+                         node_budget)
+        grown = int(len(p.win_start) * 1.3) + 4
+        print(f"[GraphLoader] pack budget overflow: growing "
+              f"{getattr(loader, pack_attr)} -> {grown} (recompiles once)")
+        setattr(loader, pack_attr, grown)
+    except ValueError as exc:
+        print(f"[GraphLoader] unpackable batch ({exc}); falling back to "
+              "the XLA segment path for this loader")
+        setattr(loader, use_attr, False)
+    return pad_graphs(chunk, num_graphs, node_budget, edge_budget,
+                      num_tasks, ell_k=ell_k,
+                      pallas_pack=getattr(loader, use_attr),
+                      pack_num_blocks=getattr(loader, pack_attr))
+
+
 class GraphLoader:
     """Iterates fixed-shape GraphBatches over a list of featurized graphs.
 
@@ -144,11 +192,9 @@ class GraphLoader:
             self.epoch += 1
         for i in range(0, len(order), self.batch_size):
             chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
-            yield pad_graphs(chunk, self.batch_size, self.node_budget,
-                             self.edge_budget, self.num_tasks,
-                             ell_k=self.ell_k,
-                             pallas_pack=self.pallas_pack,
-                             pack_num_blocks=self.pack_num_blocks)
+            yield _pad_with_pack_recovery(self, chunk, self.batch_size,
+                                          self.node_budget, self.edge_budget,
+                                          self.num_tasks, self.ell_k)
 
 
 class PairGraphLoader:
@@ -194,6 +240,11 @@ class PairGraphLoader:
     def __len__(self) -> int:
         return math.ceil(len(self.pairs) / self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the shuffle-replay contract with GraphLoader so resumed
+        pair runs continue with the right epoch's batch order."""
+        self.epoch = epoch
+
     def __iter__(self) -> Iterator[Tuple[GraphBatch, GraphBatch]]:
         order = np.arange(len(self.pairs))
         if self.shuffle:
@@ -202,14 +253,12 @@ class PairGraphLoader:
             self.epoch += 1
         for i in range(0, len(order), self.batch_size):
             chunk = [self.pairs[j] for j in order[i:i + self.batch_size]]
-            b1 = pad_graphs([p[0] for p in chunk], self.batch_size,
-                            *self.budget1, self.num_tasks,
-                            ell_k=self.ell_k1,
-                            pallas_pack=self.pallas_pack1,
-                            pack_num_blocks=self.pack_num_blocks1)
-            b2 = pad_graphs([p[1] for p in chunk], self.batch_size,
-                            *self.budget2, self.num_tasks,
-                            ell_k=self.ell_k2,
-                            pallas_pack=self.pallas_pack2,
-                            pack_num_blocks=self.pack_num_blocks2)
+            b1 = _pad_with_pack_recovery(self, [p[0] for p in chunk],
+                                         self.batch_size, *self.budget1,
+                                         self.num_tasks, self.ell_k1,
+                                         which="1")
+            b2 = _pad_with_pack_recovery(self, [p[1] for p in chunk],
+                                         self.batch_size, *self.budget2,
+                                         self.num_tasks, self.ell_k2,
+                                         which="2")
             yield b1, b2

@@ -98,12 +98,17 @@ class TripletMessage(nn.Module):
             perm, lrcv, lsnd, starts, pmask = pack
             # block-diagonal [H*C, H] so a_e = (edge_attr @ we) @ wemat
             head_of = jnp.arange(H * C) // C
-            wemat = (jax.nn.one_hot(head_of, H, dtype=xp.dtype)
-                     * w_e.reshape(-1)[:, None])
+            wemat = (jax.nn.one_hot(head_of, H, dtype=jnp.float32)
+                     * w_e.reshape(-1).astype(jnp.float32)[:, None])
+            # the fused kernel is f32-only (f32 VMEM scratch / out_shape)
+            # and accumulates at HIGHEST precision regardless, so under
+            # --dtype bfloat16 we cast its inputs up rather than fail at
+            # Mosaic lowering; everything else stays in compute dtype
+            f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
             aggr = fused_triplet_attention(
-                H, C, self.negative_slope, None, xp, a_i, a_j, edge_attr,
-                we, wemat, senders, receivers, perm, lrcv, lsnd, starts,
-                pmask)
+                H, C, self.negative_slope, None, f32(xp), f32(a_i),
+                f32(a_j), f32(edge_attr), f32(we), wemat, senders,
+                receivers, perm, lrcv, lsnd, starts, pmask).astype(xp.dtype)
         elif ell is not None:
             nbr, eid, mask = ell                  # [N, K]
             logits = _leaky_relu(

@@ -173,6 +173,18 @@ class Trainer:
             return (batch,)
         return tuple(batch)
 
+    @staticmethod
+    def _stackable(pending) -> bool:
+        """True when all pending batch tuples share one pytree structure
+        and leaf shapes (a loader's pack-overflow recovery can change the
+        batch shape mid-epoch; such a transition group runs per-batch)."""
+        def sig(parts):
+            leaves, treedef = jax.tree_util.tree_flatten(parts)
+            return treedef, tuple((l.shape, l.dtype) for l in leaves)
+
+        first = sig(pending[0])
+        return all(sig(p) == first for p in pending[1:])
+
     def _build_steps(self):
         loss_fn = self.loss_fn
         model = self.model
@@ -263,7 +275,8 @@ class Trainer:
         def flush():
             if not pending:
                 return
-            if len(pending) == scan and scan > 1:
+            if len(pending) == scan and scan > 1 \
+                    and self._stackable(pending):
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *pending)
                 self.state, loss = self._train_scan(self.state, stacked,
@@ -299,7 +312,8 @@ class Trainer:
         def flush():
             if not pending:
                 return
-            if len(pending) == scan and scan > 1:
+            if len(pending) == scan and scan > 1 \
+                    and self._stackable(pending):
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *pending)
                 out, loss = self._eval_scan(self.state.params,
@@ -535,7 +549,12 @@ class Trainer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         saved_args = json.loads(payload["args"])
-        for key in ("dataset", "batch_size", "seed", "model_cfg"):
+        # model/optimizer-shaping args passed flat (not via model_cfg)
+        # would otherwise surface as opaque from_bytes structure errors —
+        # or, for optim, silently misread optimizer state
+        for key in ("dataset", "batch_size", "seed", "model_cfg", "e_dim",
+                    "hid_dim_alpha", "mol_block", "mol_readout",
+                    "message_steps", "optim", "task"):
             if key in saved_args and key in self.args \
                     and saved_args[key] != self.args[key]:
                 raise ValueError(
