@@ -109,6 +109,29 @@ def scaffold_key(smiles: str) -> str:
     return _wl_hash(labels, bonds)
 
 
+def molecule_key(smiles: str) -> str:
+    """Canonical molecule identity key ('' if unparseable).
+
+    Replaces the reference's RDKit canonical-SMILES normalization for
+    the DDI molecule store (/root/reference/src_2gi_ddi/dataset.py:118-124)
+    with a Weisfeiler-Lehman graph hash over the FULL molecule —
+    element, aromaticity, charge, H-count and isotope labels plus bond
+    orders — so two different spellings of one molecule map to one key.
+    WL refinement is not a complete isomorphism test, but with atom-level
+    labels at 4 rounds it separates all practically occurring molecular
+    graphs; size/label multisets are part of the hash by construction."""
+    try:
+        mol = parse_smiles(smiles)
+    except SmilesError:
+        return ""
+    labels = {
+        i: (f"{a.symbol}|{int(a.aromatic)}|{a.charge}|{a.num_h}"
+            f"|{a.isotope}")
+        for i, a in enumerate(mol.atoms)}
+    bonds = [(b.a, b.b, b.order) for b in mol.bonds]
+    return _wl_hash(labels, bonds)
+
+
 def random_scaffold_split(
     smiles_list: Sequence[str],
     seed: int = 1234,

@@ -146,13 +146,33 @@ class GraphLoader:
                  node_budget: Optional[int] = None,
                  edge_budget: Optional[int] = None,
                  ell_k: Optional[int] = None,
-                 pallas_pack: bool = False):
+                 pallas_pack: bool = False,
+                 n_devices: int = 1):
         self.graphs = list(graphs)
-        self.batch_size = batch_size
         self.num_tasks = num_tasks
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        # data parallelism: each global batch is split into n_devices
+        # contiguous per-device sub-batches, padded independently and
+        # stacked along a new leading device axis (consumed by the DP
+        # shard_map step).  Trailing slots may be all-padding batches.
+        self.n_devices = max(int(n_devices), 1)
+        if self.n_devices > 1:
+            if batch_size % self.n_devices:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"n_devices {self.n_devices}")
+            self.global_batch = batch_size
+            batch_size = batch_size // self.n_devices
+        else:
+            self.global_batch = batch_size
+        self.batch_size = batch_size
+        self.node_dim = (int(self.graphs[0].nodes.shape[1])
+                         if self.graphs else 0)
+        self.edge_dim = (int(self.graphs[0].edges.shape[1])
+                         if self.graphs and self.graphs[0].edges.ndim == 2
+                         else 0)
         if ell_k == "auto":
             # ELL width = max in-degree, rounded up to a multiple of 4.
             # NOTE: measured on TPU v5e, the ELL path's [N, K] gathers
@@ -179,10 +199,20 @@ class GraphLoader:
                 self.graphs, batch_size, self.node_budget)
 
     def __len__(self) -> int:
-        return math.ceil(len(self.graphs) / self.batch_size)
+        return math.ceil(len(self.graphs) / self.global_batch)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _pad_chunk(self, chunk) -> GraphBatch:
+        if not chunk:  # trailing all-padding device slot (DP only)
+            return pad_graphs([], self.batch_size, self.node_budget,
+                              self.edge_budget, self.num_tasks,
+                              node_dim=self.node_dim,
+                              edge_dim=self.edge_dim)
+        return _pad_with_pack_recovery(self, chunk, self.batch_size,
+                                       self.node_budget, self.edge_budget,
+                                       self.num_tasks, self.ell_k)
 
     def __iter__(self) -> Iterator[GraphBatch]:
         order = np.arange(len(self.graphs))
@@ -190,11 +220,17 @@ class GraphLoader:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
             self.epoch += 1
-        for i in range(0, len(order), self.batch_size):
-            chunk = [self.graphs[j] for j in order[i:i + self.batch_size]]
-            yield _pad_with_pack_recovery(self, chunk, self.batch_size,
-                                          self.node_budget, self.edge_budget,
-                                          self.num_tasks, self.ell_k)
+        bs, D = self.batch_size, self.n_devices
+        for i in range(0, len(order), self.global_batch):
+            glob = [self.graphs[j] for j in order[i:i + self.global_batch]]
+            if D == 1:
+                yield self._pad_chunk(glob)
+                continue
+            subs = [self._pad_chunk(glob[k * bs:(k + 1) * bs])
+                    for k in range(D)]
+            import jax
+            yield jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *subs)
 
 
 class PairGraphLoader:

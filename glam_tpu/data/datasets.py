@@ -40,6 +40,14 @@ DATASET_NAMES = {
           "hiv", "muv"],
 }
 
+# pair-task families (reference src_2gi_ddi/utils.py:562-571 and
+# src_2gi_dti_scr/utils.py:473-486)
+PAIR_DATASET_NAMES = {
+    "ddi": ["drugbank_caster"],
+    "dti": ["bindingdb_c"],
+    "scr": ["ALDH1", "ESR1_ant", "KAT2A", "MAPK1", "FEN1"],
+}
+
 TASKS: Dict[str, List[str]] = {
     "demo": ["label"],
     "muv": ["MUV-466", "MUV-548", "MUV-600", "MUV-644", "MUV-652",
@@ -201,6 +209,37 @@ def auto_dataset(args: dict):
     the task-trainer *name*; the trainer module resolves it (avoids a
     circular import)."""
     name = args["dataset"]
+    split_seed = args.get("split_seed", 1234)
+    known = (DATASET_NAMES["r"] + DATASET_NAMES["c"]
+             + [n for v in PAIR_DATASET_NAMES.values() for n in v])
+    if name not in known:
+        raise ValueError("error dataset input")  # reference dataset.py:56
+    if name in PAIR_DATASET_NAMES["ddi"]:
+        # DDI routing (reference src_2gi_ddi/utils.py:562-571); binary vs
+        # multiclass head is decided by the dataset's label set
+        from .pair_datasets import DDIDataset
+        ds = DDIDataset(args["dataset_root"], dataset=name,
+                        split_seed=split_seed)
+        if args.get("loss") in (None, "mse"):
+            args["loss"] = "bcel"  # DDI run.py default (run.py:41)
+        return args, ds, "pair_ddi"
+    if name in PAIR_DATASET_NAMES["dti"]:
+        # BindingDB binary DTI (reference src_2gi_dti_scr/utils.py:476-479)
+        from .pair_datasets import BindingDBDataset
+        ds = BindingDBDataset(args["dataset_root"], dataset=name)
+        args["out_dim"] = 2
+        if args.get("loss") in (None, "mse"):
+            args["loss"] = "ce"  # DTI run.py default (run.py:44)
+        return args, ds, "pair_binary"
+    if name in PAIR_DATASET_NAMES["scr"]:
+        # LIT-PCBA virtual screening (utils.py:480-483)
+        from .pair_datasets import LITPCBADataset
+        ds = LITPCBADataset(args["dataset_root"], target=name,
+                            split_seed=split_seed)
+        args["out_dim"] = 2
+        if args.get("loss") in (None, "mse"):
+            args["loss"] = "wce"
+        return args, ds, "pair_screening"
     if name == "physprop_perturb":
         # Label-column splits (reference PertubationDataset)
         from .perturb import PerturbationDataset

@@ -129,12 +129,17 @@ def pad_graphs(
     ell_k: Optional[int] = None,
     pallas_pack: bool = False,
     pack_num_blocks: Optional[int] = None,
+    node_dim: Optional[int] = None,
+    edge_dim: Optional[int] = None,
 ) -> GraphBatch:
     """Pack ``graphs`` into one static-shape :class:`GraphBatch`.
 
     ``num_graphs`` counts only *real* graph slots; one extra padding-graph
     slot is appended, so the result has ``G = num_graphs + 1`` graphs.
-    Raises if the batch does not fit the requested budget.
+    Raises if the batch does not fit the requested budget.  An empty
+    ``graphs`` list yields an all-padding batch (graph_mask all False) —
+    used by the data-parallel loader for trailing device slots; it
+    requires ``node_dim``/``edge_dim``/``num_tasks``.
     """
     g_real = len(graphs)
     if g_real > num_graphs:
@@ -145,10 +150,11 @@ def pad_graphs(
         raise ValueError(
             f"batch needs ({tot_n} nodes, {tot_e} edges) > budget "
             f"({num_nodes}, {num_edges})")
-    if not graphs:
-        raise ValueError("empty batch")
-    fn = graphs[0].nodes.shape[1]
-    fe = graphs[0].edges.shape[1] if graphs[0].edges.ndim == 2 else 0
+    if not graphs and (node_dim is None or num_tasks is None):
+        raise ValueError("empty batch needs node_dim/num_tasks")
+    fn = graphs[0].nodes.shape[1] if graphs else node_dim
+    fe = (graphs[0].edges.shape[1] if graphs[0].edges.ndim == 2 else 0) \
+        if graphs else (edge_dim or 0)
     nt = num_tasks if num_tasks is not None else graphs[0].y.shape[-1]
     G = num_graphs + 1
 

@@ -15,9 +15,11 @@ Parity targets:
                    target FASTAs, 70/30 train/val of the T set + V set as
                    test, sklearn-style balanced class weights.
 
-Molecule identity: the reference dedups via RDKit canonical SMILES; here
-molecules are keyed by their raw SMILES string (identical behavior when
-the input file reuses consistent strings, which these corpora do).
+Molecule identity: the reference dedups via RDKit canonical SMILES
+(src_2gi_ddi/dataset.py:118-124); here molecules are keyed by a canonical
+WL graph hash (:func:`glam_tpu.chem.scaffold.molecule_key`), so two raw
+spellings of one molecule share a single store entry (and its featurized
+graph) exactly like the reference.
 """
 from __future__ import annotations
 
@@ -30,6 +32,7 @@ import pandas as pd
 
 from ..chem.featurize import FeaturizeError
 from ..chem.proteins import load_contactmap, protein_to_arrays
+from ..chem.scaffold import molecule_key
 from .datasets import featurize_smiles
 from .graph import GraphArrays
 
@@ -59,10 +62,11 @@ class DDIDataset:
         pairs: List[Tuple[str, str, float]] = []
         for s1, s2, y in zip(df["Drug1_SMILES"], df["Drug2_SMILES"],
                              df["label"]):
-            s1, s2 = str(s1), str(s2)
-            if self._featurize(s1) is None or self._featurize(s2) is None:
+            k1 = self._featurize(str(s1))
+            k2 = self._featurize(str(s2))
+            if k1 is None or k2 is None:
                 continue
-            pairs.append((s1, s2, float(y)))
+            pairs.append((k1, k2, float(y)))
         self.pairs = pairs
         self.num_tasks = 1
         labels = {p[2] for p in pairs}
@@ -85,13 +89,18 @@ class DDIDataset:
         self.val = self._make(perm[n_tr:n_tr + n_va])
         self.test = self._make(perm[n_tr + n_va:])
 
-    def _featurize(self, smi: str) -> Optional[GraphArrays]:
-        if smi not in self.mol_store:
+    def _featurize(self, smi: str) -> Optional[str]:
+        """Featurize once per canonical molecule; returns its store key
+        (canonical dedup parity with reference dataset.py:118-124)."""
+        key = molecule_key(smi)
+        if not key:
+            return None
+        if key not in self.mol_store:
             g = _mol_graph(smi, 0.0)
             if g is None:
                 return None
-            self.mol_store[smi] = g
-        return self.mol_store[smi]
+            self.mol_store[key] = g
+        return key
 
     def _make(self, idx) -> List[Tuple[GraphArrays, GraphArrays]]:
         out = []

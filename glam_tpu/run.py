@@ -23,10 +23,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--hid_dim_alpha", default=4, type=int)
     p.add_argument("--mol_block", type=str, default="_NNConv")
+    p.add_argument("--pro_block", type=str, default="_GCNConv",
+                   help="protein-tower conv for DTI datasets "
+                        "(reference src_2gi_dti_scr/run.py:19)")
     p.add_argument("--e_dim", default=1024, type=int)
     p.add_argument("--out_dim", default=1, type=int)
     p.add_argument("--message_steps", default=3, type=int)
     p.add_argument("--mol_readout", default="GlobalPool5", type=str)
+    p.add_argument("--pro_readout", default="GlobalPool5", type=str,
+                   help="protein-tower readout for DTI datasets")
 
     p.add_argument("--pre_norm", default="_None", type=str)
     p.add_argument("--graph_norm", default="_PairNorm", type=str)
@@ -39,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pre_act", default="RReLU", type=str)
     p.add_argument("--graph_act", default="RReLU", type=str)
     p.add_argument("--flat_act", default="RReLU", type=str)
+    p.add_argument("--end_act", default="RReLU", type=str,
+                   help="pair-head activation (src_2gi_*/run.py:38)")
     p.add_argument("--graph_res", default=1, type=int)
 
     p.add_argument("--batch_size", default=32, type=int)
@@ -80,7 +87,7 @@ def main(argv=None):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache(args.pop("compile_cache", None))
     from .data.datasets import auto_dataset
-    from .train.trainer import make_trainer
+    from .train.pair_trainer import make_auto_trainer
     from .utils.seed import seed_everything
 
     seed_everything(args["seed"])
@@ -88,8 +95,8 @@ def main(argv=None):
     args, dataset, trainer_kind = auto_dataset(args)
     print("Training init...")
     resume = args.pop("resume", None)
-    trainer = make_trainer(args, dataset, trainer_kind,
-                           work_dir=args.get("work_dir"))
+    trainer = make_auto_trainer(args, dataset, trainer_kind,
+                                work_dir=args.get("work_dir"))
     if resume:
         trainer.resume(resume)
     trainer.train_and_test()

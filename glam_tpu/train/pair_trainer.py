@@ -49,14 +49,24 @@ def make_pair_loss_fn(task: str, loss_name: str, num_classes: int,
             return criterion(out[:, 0], y[:, 0],
                              weight=gmask.astype(out.dtype))
     elif task in ("pair_binary", "pair_screening"):
+        # honor the searched DTI losses (reference glam.py:87 samples
+        # wce/focal, bindingdb tweak ce/focal; trainers resolve via
+        # get_loss + dataset class weights for wce)
+        name = (loss_name if loss_name in ("ce", "wce", "focal")
+                else ("wce" if task == "pair_screening" else "ce"))
         cw = (jnp.asarray(class_weights, jnp.float32)
-              if class_weights is not None and task == "pair_screening"
-              else None)
+              if class_weights is not None and name == "wce" else None)
+        if name == "focal":
+            criterion = get_loss("focal")
 
-        def loss_fn(out, y, gmask):
-            return cross_entropy(out, y[:, 0],
-                                 weight=gmask.astype(out.dtype),
-                                 class_weight=cw)
+            def loss_fn(out, y, gmask):
+                return criterion(out, y[:, 0],
+                                 weight=gmask.astype(out.dtype))
+        else:
+            def loss_fn(out, y, gmask):
+                return cross_entropy(out, y[:, 0],
+                                     weight=gmask.astype(out.dtype),
+                                     class_weight=cw)
     else:
         raise ValueError(f"unknown pair task {task!r}")
     return loss_fn
@@ -150,6 +160,8 @@ def make_ddi_trainer(args: Dict, dataset, work_dir=None,
     _set_pair_max_nodes(overrides, dataset.train + dataset.val
                         + dataset.test)
     cfg = model_config_from_args(args, **overrides)
+    import dataclasses
+    args["model_cfg"] = dataclasses.asdict(cfg)  # self-describing ckpts
     model = PairArchitecture(cfg, hetero=False)
     return PairTrainer(args, model, dataset.train, dataset.val,
                        dataset.test, work_dir=work_dir)
@@ -171,11 +183,26 @@ def make_dti_trainer(args: Dict, dataset, task: str = "pair_binary",
     _set_pair_max_nodes(overrides, dataset.train + dataset.val
                         + dataset.test, hetero=True)
     cfg = model_config_from_args(args, **overrides)
+    import dataclasses
+    args["model_cfg"] = dataclasses.asdict(cfg)  # self-describing ckpts
     model = PairArchitecture(cfg, hetero=True)
     weights = getattr(dataset, "class_weights", None)
     return PairTrainer(args, model, dataset.train, dataset.val,
                        dataset.test, work_dir=work_dir,
                        class_weights=weights)
+
+
+def make_auto_trainer(args: Dict, dataset, kind: str, work_dir=None):
+    """Route a trainer-kind string from ``auto_dataset`` to the right
+    factory — the single dispatch point used by the run CLI and the
+    ensemble rebuild, making all three task families reachable from one
+    command surface (the reference ships three separate run.py trees)."""
+    if kind == "pair_ddi":
+        return make_ddi_trainer(args, dataset, work_dir=work_dir)
+    if kind in ("pair_binary", "pair_screening", "pair_regression"):
+        return make_dti_trainer(args, dataset, task=kind, work_dir=work_dir)
+    from .trainer import make_trainer
+    return make_trainer(args, dataset, kind, work_dir=work_dir)
 
 
 def _set_pair_max_nodes(overrides: Dict, pairs, hetero: bool = False):
