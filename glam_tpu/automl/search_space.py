@@ -197,7 +197,7 @@ _CLI_FLAGS = frozenset([
     "end_do", "pre_act", "graph_act", "flat_act", "end_act", "graph_res",
     "batch_size", "epochs", "loss", "optim", "k", "lr", "lr_reduce_rate",
     "lr_reduce_patience", "early_stop_patience", "verbose_patience",
-    "work_dir", "platform", "scan_steps", "dtype", "pallas",
+    "work_dir", "platform", "scan_steps", "dtype", "pallas", "n_devices",
 ])
 
 

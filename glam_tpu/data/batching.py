@@ -243,8 +243,18 @@ class PairGraphLoader:
     def __init__(self, pairs: Sequence[Tuple[GraphArrays, GraphArrays]],
                  batch_size: int, num_tasks: int, shuffle: bool = False,
                  seed: int = 0, pallas_pack1: bool = False,
-                 pallas_pack2: bool = False):
+                 pallas_pack2: bool = False, n_devices: int = 1):
         self.pairs = list(pairs)
+        self.n_devices = max(int(n_devices), 1)
+        if self.n_devices > 1:
+            if batch_size % self.n_devices:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"n_devices {self.n_devices}")
+            self.global_batch = batch_size
+            batch_size = batch_size // self.n_devices
+        else:
+            self.global_batch = batch_size
         self.batch_size = batch_size
         self.num_tasks = num_tasks
         self.shuffle = shuffle
@@ -274,12 +284,30 @@ class PairGraphLoader:
                 g2s, batch_size, self.budget2[0])
 
     def __len__(self) -> int:
-        return math.ceil(len(self.pairs) / self.batch_size)
+        return math.ceil(len(self.pairs) / self.global_batch)
 
     def set_epoch(self, epoch: int) -> None:
         """Align the shuffle-replay contract with GraphLoader so resumed
         pair runs continue with the right epoch's batch order."""
         self.epoch = epoch
+
+    def _pad_chunk(self, chunk) -> Tuple[GraphBatch, GraphBatch]:
+        def side(graphs, budget, ell_k, which, dims):
+            if not graphs:
+                return pad_graphs([], self.batch_size, *budget,
+                                  self.num_tasks, node_dim=dims[0],
+                                  edge_dim=dims[1])
+            return _pad_with_pack_recovery(self, graphs, self.batch_size,
+                                           *budget, self.num_tasks, ell_k,
+                                           which=which)
+
+        d1 = ((self.pairs[0][0].nodes.shape[1],
+               self.pairs[0][0].edges.shape[1]) if self.pairs else (0, 0))
+        d2 = ((self.pairs[0][1].nodes.shape[1],
+               self.pairs[0][1].edges.shape[1]) if self.pairs else (0, 0))
+        b1 = side([p[0] for p in chunk], self.budget1, self.ell_k1, "1", d1)
+        b2 = side([p[1] for p in chunk], self.budget2, self.ell_k2, "2", d2)
+        return b1, b2
 
     def __iter__(self) -> Iterator[Tuple[GraphBatch, GraphBatch]]:
         order = np.arange(len(self.pairs))
@@ -287,14 +315,14 @@ class PairGraphLoader:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
             self.epoch += 1
-        for i in range(0, len(order), self.batch_size):
-            chunk = [self.pairs[j] for j in order[i:i + self.batch_size]]
-            b1 = _pad_with_pack_recovery(self, [p[0] for p in chunk],
-                                         self.batch_size, *self.budget1,
-                                         self.num_tasks, self.ell_k1,
-                                         which="1")
-            b2 = _pad_with_pack_recovery(self, [p[1] for p in chunk],
-                                         self.batch_size, *self.budget2,
-                                         self.num_tasks, self.ell_k2,
-                                         which="2")
-            yield b1, b2
+        bs, D = self.batch_size, self.n_devices
+        for i in range(0, len(order), self.global_batch):
+            glob = [self.pairs[j] for j in order[i:i + self.global_batch]]
+            if D == 1:
+                yield self._pad_chunk(glob)
+                continue
+            subs = [self._pad_chunk(glob[k * bs:(k + 1) * bs])
+                    for k in range(D)]
+            import jax
+            yield jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *subs)

@@ -71,12 +71,19 @@ def make_dp_train_step(model, loss_fn: Callable, mesh: Mesh,
                 out = model.apply(variables, batch, False,
                                   rngs={"dropout": drop_rng})
                 new_stats = batch_stats
-            return loss_fn(out, batch.y, batch.graph_mask), new_stats
+            # 1/D pre-scale: shard_map's transpose auto-psums grads
+            # w.r.t. the captured replicated params, so the grads that
+            # come back are already summed over the mesh — scaling the
+            # local loss turns that sum into the cross-shard mean.  (An
+            # explicit pmean on top of the implicit psum would be D x
+            # too large.)
+            loss = loss_fn(out, batch.y, batch.graph_mask) \
+                / jax.lax.axis_size(axis)
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
             compute, has_aux=True)(params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+        loss = jax.lax.psum(loss, axis)
         new_stats = jax.lax.pmean(new_stats, axis) if new_stats else new_stats
         return grads, loss, new_stats
 

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", default=0, type=int,
                    help="1 = use the fused Pallas attention kernel for "
                         "_TripletMessage (ops/pallas/triplet_fused)")
+    p.add_argument("--n_devices", default=1, type=int,
+                   help="data-parallel training over the first N chips "
+                        "(batch_size must be divisible by N)")
     return p
 
 

@@ -95,17 +95,36 @@ class PairTrainer(Trainer):
         hetero = bool(getattr(self.model, "hetero", False))
         pp1 = pp and self.args.get("mol_block") == "_TripletMessage"
         pp2 = pp1 and not hetero
-        kw = dict(pallas_pack1=pp1, pallas_pack2=pp2)
+        nd = self.n_devices
+        ebs = max((32 // nd) * nd, nd)
+        kw = dict(pallas_pack1=pp1, pallas_pack2=pp2, n_devices=nd)
         self.train_loader = PairGraphLoader(train_graphs, bs, nt,
                                             shuffle=True, seed=seed, **kw)
-        self.valid_loader = PairGraphLoader(valid_graphs, 32, nt, **kw)
-        self.test_loader = (PairGraphLoader(test_graphs, 32, nt, **kw)
+        self.valid_loader = PairGraphLoader(valid_graphs, ebs, nt, **kw)
+        self.test_loader = (PairGraphLoader(test_graphs, ebs, nt, **kw)
                             if test_graphs else None)
 
     def _make_loss(self):
         return make_pair_loss_fn(self.task, self.args.get("loss", "bcel"),
                                  int(self.args.get("num_classes", 1)),
                                  self.class_weights)
+
+    def _make_weight(self):
+        """DP shard weight; wce's denominator is the class-weight sum."""
+        loss_name = self.args.get("loss", "bcel")
+        name = (loss_name if loss_name in ("ce", "wce", "focal")
+                else ("wce" if self.task == "pair_screening" else "ce"))
+        if self.task in ("pair_binary", "pair_screening") \
+                and name == "wce" and self.class_weights is not None:
+            cw = jnp.asarray(self.class_weights, jnp.float32)
+
+            def weight_fn(y, gmask):
+                tgt = jnp.clip(y[:, 0].astype(jnp.int32), 0,
+                               cw.shape[0] - 1)
+                return jnp.sum(cw[tgt] * gmask.astype(jnp.float32))
+            return weight_fn
+        from .trainer import make_weight_fn
+        return make_weight_fn(self.task)
 
     # jitted steps, train_iterations and _gather come from Trainer —
     # they are generic over the batch-parts tuple (Trainer._as_parts);

@@ -76,6 +76,20 @@ def make_loss_fn(task: str, loss_name: str, num_tasks: int):
     return loss_fn
 
 
+def make_weight_fn(task: str):
+    """Per-shard loss weight (the loss's denominator mask sum) used by the
+    data-parallel step to combine shard losses/grads exactly: the losses
+    are weighted means, so psum(x*w)/psum(w) over shards reproduces the
+    single-device global-batch value bit-for-bit (up to psum ordering)."""
+    if task in ("binary_nan", "binary_nan_bce"):
+        def weight_fn(y, gmask):
+            return jnp.sum(((y >= 0) & gmask[:, None]).astype(jnp.float32))
+    else:  # graph-level weighting (regression + all pair tasks)
+        def weight_fn(y, gmask):
+            return jnp.sum(gmask.astype(jnp.float32))
+    return weight_fn
+
+
 class Trainer:
     """Single-tower trainer; see module docstring."""
 
@@ -91,6 +105,21 @@ class Trainer:
         self.task = self.args.get("task", self.TASK)
         self.num_tasks = int(self.args.get("num_tasks", 1))
         nt = self.num_tasks
+
+        # data parallelism over the first n_devices chips: loaders yield
+        # device-stacked sub-batches; the jitted step shard_maps over a
+        # ("data",) mesh with weighted-psum grad combining (beyond the
+        # reference, which is strictly single-device per trial)
+        self.n_devices = int(self.args.get("n_devices", 1))
+        self.mesh = None
+        if self.n_devices > 1:
+            from ..parallel.data_parallel import make_mesh
+            devs = jax.devices()
+            if len(devs) < self.n_devices:
+                raise ValueError(
+                    f"--n_devices {self.n_devices} but only {len(devs)} "
+                    f"devices visible")
+            self.mesh = make_mesh(devs[:self.n_devices], ("data",))
 
         seed = int(self.args.get("seed", 1234))
         self._make_loaders(train_graphs, valid_graphs, test_graphs)
@@ -142,22 +171,31 @@ class Trainer:
         # block packing, and giant graphs can exceed its node window
         pp = bool(int(self.args.get("pallas", 0))) \
             and self.args.get("mol_block") == "_TripletMessage"
+        nd = self.n_devices
+        ebs = max((32 // nd) * nd, nd)  # eval bs 32, n_devices-divisible
         self.train_loader = GraphLoader(train_graphs, bs, nt, shuffle=True,
-                                        seed=seed, pallas_pack=pp)
-        self.valid_loader = GraphLoader(valid_graphs, 32, nt,
-                                        pallas_pack=pp)
-        self.test_loader = (GraphLoader(test_graphs, 32, nt,
-                                        pallas_pack=pp)
+                                        seed=seed, pallas_pack=pp,
+                                        n_devices=nd)
+        self.valid_loader = GraphLoader(valid_graphs, ebs, nt,
+                                        pallas_pack=pp, n_devices=nd)
+        self.test_loader = (GraphLoader(test_graphs, ebs, nt,
+                                        pallas_pack=pp, n_devices=nd)
                             if test_graphs else None)
 
     def _make_loss(self):
         return make_loss_fn(self.task, self.args.get("loss", "mse"),
                             self.num_tasks)
 
+    def _make_weight(self):
+        return make_weight_fn(self.task)
+
     def _init_variables(self, rng, sample):
+        parts = self._as_parts(sample)
+        if self.n_devices > 1:  # loaders yield device-stacked batches
+            parts = jax.tree_util.tree_map(lambda a: a[0], parts)
         return self.model.init(
             {"params": rng, "dropout": jax.random.PRNGKey(1)},
-            *self._as_parts(sample), True)
+            *parts, True)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -203,29 +241,38 @@ class Trainer:
                 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 tree)
 
-        def train_step(state: TrainState, parts, rng):
-            drop_rng = jax.random.fold_in(rng, state.step)
+        def _grads_and_loss(params, batch_stats, parts, drop_rng,
+                            scale=None):
             cparts = to_compute(parts)
 
-            def compute(params):
-                variables = {"params": to_compute(params)}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
+            def compute(p):
+                variables = {"params": to_compute(p)}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
                     out, updates = model.apply(
                         variables, *cparts, False,
                         rngs={"dropout": drop_rng},
                         mutable=["batch_stats"])
-                    new_stats = updates.get("batch_stats", state.batch_stats)
+                    new_stats = updates.get("batch_stats", batch_stats)
                 else:
                     out = model.apply(variables, *cparts, False,
                                       rngs={"dropout": drop_rng})
-                    new_stats = state.batch_stats
+                    new_stats = batch_stats
                 loss = loss_fn(out.astype(jnp.float32), parts[0].y,
                                parts[0].graph_mask)
+                if scale is not None:
+                    # DP: pre-scaling the per-shard loss makes shard_map's
+                    # capture transpose (auto-psum of grads w.r.t. the
+                    # replicated params) produce the weighted global mean
+                    loss = loss * scale
                 return loss, new_stats
 
-            (loss, new_stats), grads = jax.value_and_grad(
-                compute, has_aux=True)(state.params)
+            return jax.value_and_grad(compute, has_aux=True)(params)
+
+        def train_step(state: TrainState, parts, rng):
+            drop_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_stats), grads = _grads_and_loss(
+                state.params, state.batch_stats, parts, drop_rng)
             state = state.apply_gradients(grads=grads)
             if state.batch_stats:
                 state = state.replace(batch_stats=new_stats)
@@ -239,6 +286,10 @@ class Trainer:
             out = out.astype(jnp.float32)
             loss = loss_fn(out, parts[0].y, parts[0].graph_mask)
             return out, loss
+
+        if self.n_devices > 1:
+            train_step, eval_step = self._build_dp_steps(_grads_and_loss,
+                                                         eval_step)
 
         def train_scan(state: TrainState, stacked, rng):
             # S stacked batches -> S optimizer steps in ONE dispatch
@@ -265,6 +316,69 @@ class Trainer:
         self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
         self._eval_scan = jax.jit(eval_scan)
+
+    def _build_dp_steps(self, grads_and_loss, local_eval_step):
+        """Data-parallel train/eval steps: shard_map over the ("data",)
+        mesh; per-shard weighted-mean losses/grads are combined with a
+        weighted psum so the result equals the single-device global-batch
+        computation exactly (weights = the loss's mask denominators,
+        which also zeroes out all-padding trailing device slots)."""
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        mesh, axis, D = self.mesh, "data", self.n_devices
+        weight_fn = self._make_weight()
+        rep = P()
+
+        def batch_specs(parts):
+            return jax.tree_util.tree_map(lambda _: P(axis), parts)
+
+        def dp_train_step(state: TrainState, parts, rng):
+            def per_shard(params, batch_stats, parts, rng, step):
+                parts = jax.tree_util.tree_map(lambda a: a[0], parts)
+                drop_rng = jax.random.fold_in(
+                    rng, step * D + jax.lax.axis_index(axis))
+                w = weight_fn(parts[0].y, parts[0].graph_mask)
+                wn = w / jnp.maximum(jax.lax.psum(w, axis), 1e-12)
+                # the wn pre-scale makes the grads w.r.t. the captured
+                # (replicated) params — which shard_map's transpose
+                # auto-psums over the mesh — equal the exact global
+                # weighted-mean gradient; no explicit grad collective
+                (loss, new_stats), grads = grads_and_loss(
+                    params, batch_stats, parts, drop_rng, scale=wn)
+                loss = jax.lax.psum(loss, axis)
+                if new_stats:
+                    # running BN stats: plain pmean (standard local-batch
+                    # DP BatchNorm; stats are diagnostics, not the loss)
+                    new_stats = jax.lax.pmean(new_stats, axis)
+                return grads, loss, new_stats
+
+            shard_fn = jax.shard_map(
+                partial(per_shard, state.params, state.batch_stats),
+                mesh=mesh,
+                in_specs=(batch_specs(parts), rep, rep),
+                out_specs=(rep, rep, rep))
+            grads, loss, new_stats = shard_fn(parts, rng, state.step)
+            state = state.apply_gradients(grads=grads)
+            if state.batch_stats:
+                state = state.replace(batch_stats=new_stats)
+            return state, loss
+
+        def dp_eval_step(params, batch_stats, parts):
+            def per_shard(params, batch_stats, parts):
+                sparts = jax.tree_util.tree_map(lambda a: a[0], parts)
+                out, loss = local_eval_step(params, batch_stats, sparts)
+                w = weight_fn(sparts[0].y, sparts[0].graph_mask)
+                wn = w / jnp.maximum(jax.lax.psum(w, axis), 1e-12)
+                return out[None], jax.lax.psum(loss * wn, axis)
+
+            shard_fn = jax.shard_map(
+                partial(per_shard, params, batch_stats),
+                mesh=mesh,
+                in_specs=(batch_specs(parts),),
+                out_specs=(P(axis), rep))
+            return shard_fn(parts)
+
+        return dp_train_step, dp_eval_step
 
     # ------------------------------------------------------------------
     def train_iterations(self, rng) -> float:
@@ -302,6 +416,13 @@ class Trainer:
         total = sum(n for _, n in losses)
         return float(sum(float(l) * n for l, n in losses) / max(total, 1))
 
+    def _merge_devices(self, a: np.ndarray) -> np.ndarray:
+        """Flatten a leading device axis of a DP-stacked array."""
+        a = np.asarray(a)
+        if self.n_devices > 1:
+            return a.reshape((-1,) + a.shape[2:])
+        return a
+
     def _gather(self, mode: str):
         loader = {"valid": self.valid_loader, "test": self.test_loader,
                   "inference": self.test_loader}[mode]
@@ -318,18 +439,19 @@ class Trainer:
                     lambda *xs: jnp.stack(xs), *pending)
                 out, loss = self._eval_scan(self.state.params,
                                             self.state.batch_stats, stacked)
-                outs.extend(np.asarray(out))            # [S, G, D]
+                outs.extend(self._merge_devices(o)      # [S(, D), G, out]
+                            for o in np.asarray(out))
                 losses.extend(float(l) for l in np.asarray(loss))
             else:
                 for parts in pending:
                     out, loss = self._eval_step(self.state.params,
                                                 self.state.batch_stats,
                                                 parts)
-                    outs.append(np.asarray(out))
+                    outs.append(self._merge_devices(out))
                     losses.append(float(loss))
             for parts in pending:
-                ys.append(np.asarray(parts[0].y))
-                masks.append(np.asarray(parts[0].graph_mask))
+                ys.append(self._merge_devices(parts[0].y))
+                masks.append(self._merge_devices(parts[0].graph_mask))
             pending.clear()
 
         from ..data.batching import prefetch

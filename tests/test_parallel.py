@@ -61,6 +61,54 @@ class TestDataParallel:
         # and acts are CELU, so values must agree
         np.testing.assert_allclose(float(loss), manual, rtol=1e-5)
 
+    def test_dp_gradients_match_single_device(self, sample_graphs):
+        """True GRADIENT parity (not just loss): one SGD step through the
+        DP path must equal one step on the mean-of-shard-losses objective
+        computed single-device.  Guards the shard_map capture-transpose
+        semantics (grads w.r.t. replicated params come back auto-psummed;
+        an explicit pmean on top would be D x too large)."""
+        D = 4
+        model = Architecture(ModelConfig(max_nodes=32, e_dim=32,
+                                         graph_do="_None()",
+                                         flat_do="_None()",
+                                         end_do="_None()",
+                                         pre_act="CELU", graph_act="CELU",
+                                         flat_act="CELU"))
+        mesh = make_mesh(jax.devices()[:D], ("data",))
+        loader = GraphLoader(sample_graphs[:4], 1, 1, node_budget=40,
+                             edge_budget=64)
+        per_dev = list(loader)[:D]
+        stacked = stack_batches(per_dev)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, per_dev[0],
+                       True)
+        loss_fn = make_loss_fn("regression", "mse", 1)
+
+        def objective(p):
+            losses = [loss_fn(model.apply({"params": p}, b, True),
+                              b.y, b.graph_mask) for b in per_dev]
+            return jnp.mean(jnp.stack(losses))
+
+        ref_grads = jax.grad(objective)(v["params"])
+        # snapshot before the step donates the state's buffers
+        p0_leaves = [np.array(x) for x in
+                     jax.tree_util.tree_leaves(v["params"])]
+
+        tx = make_optimizer("SGD", 1e-3)
+        state = TrainState.create(apply_fn=model.apply,
+                                  params=v["params"], tx=tx,
+                                  batch_stats=v.get("batch_stats", {}))
+        step = make_dp_train_step(model, loss_fn, mesh)
+        state2, _ = step(state, stacked, jax.random.PRNGKey(2))
+        for g, p0, p1 in zip(jax.tree_util.tree_leaves(ref_grads),
+                             p0_leaves,
+                             jax.tree_util.tree_leaves(state2.params)):
+            step_grad = (p0 - np.asarray(p1)) / 1e-3
+            # atol floor: recovering grads from an lr-scaled f32 param
+            # delta quantizes at ulp(param)/lr ~ 2e-5
+            np.testing.assert_allclose(step_grad, np.asarray(g),
+                                       rtol=1e-4, atol=5e-5)
+
     def test_dp_eval(self, sample_graphs):
         D = 2
         model = Architecture(ModelConfig(max_nodes=32, e_dim=32))
