@@ -239,7 +239,9 @@ class GCNConv(nn.Module):
 
 
 class GATConv(nn.Module):
-    """PyG 1.7 GATConv parity (heads=1, concat, slope 0.2, self-loops)."""
+    """PyG 1.7 GATConv parity (multi-head concat, slope 0.2, self-loops;
+    the reference wrapper uses heads=1 — naive-oracle tested for heads=3
+    in tests/test_parity_extra.py)."""
     in_channels: int
     out_channels: int
     edge_channels: int = 0

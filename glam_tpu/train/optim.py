@@ -4,8 +4,10 @@ Ranger (reference ranger.py:31-207, vendored byte-identical in all three
 trees) = RAdam + Lookahead + Gradient Centralization, reimplemented as
 optax transforms:
 
-  * RAdam: optax.radam with the reference's hyper-parameters
-    betas=(0.95, 0.999), eps=1e-5, N_sma_threshhold=5.
+  * RAdam: ``scale_by_radam_ref`` — the reference's exact update math
+    (betas=(0.95, 0.999), eps=1e-5, N_sma_threshhold=5, torch eps
+    placement); oracle-tested against a numpy transcription of the
+    algorithm in tests/test_parity_extra.py.
   * Gradient centralization (use_gc=True, gc_conv_only=False): subtract
     the per-output-unit mean from gradients of every parameter with
     ndim > 1.  torch weights are [out, in...] and centralize over dims
@@ -40,6 +42,57 @@ def gradient_centralization() -> optax.GradientTransformation:
                 return g - jnp.mean(g, axis=axes, keepdims=True)
             return g
         return jax.tree_util.tree_map(gc, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class RAdamRefState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_radam_ref(b1: float = 0.95, b2: float = 0.999,
+                       eps: float = 1e-5,
+                       threshold: float = 5.0) -> optax.GradientTransformation:
+    """RAdam with the reference Ranger's exact update math
+    (reference ranger.py:141-186).  Differs from ``optax.radam`` in eps
+    placement: the reference divides by ``sqrt(v) + eps`` and folds the
+    ``sqrt(1 - b2^t)`` bias correction into the step size, so eps is NOT
+    scaled by the correction (optax adds eps to the corrected
+    ``sqrt(v_hat)``) — a ~30x larger effective eps at step 1.  The
+    non-rectified branch (N_sma <= threshold) is bias-corrected momentum
+    with no second-moment denominator, as in the reference."""
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RAdamRefState(count=jnp.zeros([], jnp.int32), mu=z,
+                             nu=jax.tree_util.tree_map(jnp.zeros_like,
+                                                       params))
+
+    def update_fn(updates, state, params=None):
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        b2t = b2 ** tf
+        n_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_max - 2.0 * tf * b2t / (1.0 - b2t)
+        bias1 = 1.0 - b1 ** tf
+        rect = jnp.sqrt((1.0 - b2t) * (n_sma - 4.0) / (n_max - 4.0)
+                        * (n_sma - 2.0) / n_sma
+                        * n_max / (n_max - 2.0)) / bias1
+        plain = 1.0 / bias1
+        use_rect = n_sma > threshold
+
+        def step(m, v):
+            rectified = rect * m / (jnp.sqrt(v) + eps)
+            return jnp.where(use_rect, rectified, plain * m)
+
+        out = jax.tree_util.tree_map(step, mu, nu)
+        return out, RAdamRefState(count=t, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -94,8 +147,9 @@ def make_optimizer(name: str, lr: float, k: int = 6) -> optax.GradientTransforma
         def make(learning_rate):
             return optax.chain(
                 gradient_centralization(),
-                optax.radam(learning_rate, b1=0.95, b2=0.999, eps=1e-5,
-                            threshold=5.0),
+                scale_by_radam_ref(b1=0.95, b2=0.999, eps=1e-5,
+                                   threshold=5.0),
+                optax.scale_by_learning_rate(learning_rate),
                 lookahead(k=k, alpha=0.5),
             )
     else:

@@ -55,6 +55,121 @@ class TestSet2SetVsTorch:
                                    atol=1e-5)
 
 
+class TestRangerVsReferenceMath:
+    """Numpy oracle of the reference Ranger update (ranger.py:31-207):
+    gradient centralization -> RAdam with torch eps placement
+    (m/(sqrt(v)+eps), bias corrections folded into the step size,
+    momentum-only below the N_sma threshold) -> lookahead sync every k
+    steps (slow += 0.5*(fast-slow); fast = slow)."""
+
+    B1, B2, EPS, LR, K, ALPHA, THR = 0.95, 0.999, 1e-5, 0.01, 6, 0.5, 5.0
+
+    def _oracle_step(self, p, g, m, v, slow, t):
+        # gradient centralization on ndim>1 params: flax kernels are
+        # [in..., out]; centralize over all axes except the last (the
+        # torch [out, in...] dims-1.. mean on the transposed layout)
+        if g.ndim > 1:
+            g = g - g.mean(axis=tuple(range(g.ndim - 1)), keepdims=True)
+        m = self.B1 * m + (1 - self.B1) * g
+        v = self.B2 * v + (1 - self.B2) * g * g
+        b2t = self.B2 ** t
+        n_max = 2 / (1 - self.B2) - 1
+        n_sma = n_max - 2 * t * b2t / (1 - b2t)
+        if n_sma > self.THR:
+            step_size = np.sqrt((1 - b2t) * (n_sma - 4) / (n_max - 4)
+                                * (n_sma - 2) / n_sma
+                                * n_max / (n_max - 2)) / (1 - self.B1 ** t)
+            upd = m / (np.sqrt(v) + self.EPS)
+        else:
+            step_size = 1.0 / (1 - self.B1 ** t)
+            upd = m
+        p = p - self.LR * step_size * upd
+        if t % self.K == 0:
+            slow = slow + self.ALPHA * (p - slow)
+            p = slow.copy()
+        return p, m, v, slow
+
+    def test_13_steps_match(self):
+        import optax
+        from glam_tpu.train.optim import make_optimizer
+        rng = np.random.RandomState(7)
+        params = {"w": rng.randn(4, 3).astype(np.float32),
+                  "b": rng.randn(3).astype(np.float32)}
+        grads_seq = [
+            {"w": rng.randn(4, 3).astype(np.float32),
+             "b": rng.randn(3).astype(np.float32)} for _ in range(13)]
+
+        tx = make_optimizer("Ranger", self.LR, k=self.K)
+        state = tx.init({k: jnp.asarray(x) for k, x in params.items()})
+        p_jax = {k: jnp.asarray(x) for k, x in params.items()}
+        p_ref = {k: x.copy() for k, x in params.items()}
+        m = {k: np.zeros_like(x) for k, x in params.items()}
+        v = {k: np.zeros_like(x) for k, x in params.items()}
+        slow = {k: x.copy() for k, x in params.items()}
+
+        for t, g in enumerate(grads_seq, start=1):
+            upd, state = tx.update(
+                {k: jnp.asarray(x) for k, x in g.items()}, state, p_jax)
+            p_jax = optax.apply_updates(p_jax, upd)
+            for k in params:
+                p_ref[k], m[k], v[k], slow[k] = self._oracle_step(
+                    p_ref[k], g[k], m[k], v[k], slow[k], t)
+            for k in params:
+                # oracle runs in f64 numpy, ours in f32 jax -> tiny drift
+                np.testing.assert_allclose(
+                    np.asarray(p_jax[k]), p_ref[k], rtol=1e-4, atol=1e-5,
+                    err_msg=f"step {t} param {k}")
+
+    def test_crosses_rectification_threshold(self):
+        # with b2=0.999 the N_sma threshold is crossed within 13 steps:
+        # both the momentum-only and the rectified branch were exercised
+        n_max = 2 / (1 - self.B2) - 1
+        crossed = [
+            (n_max - 2 * t * self.B2 ** t / (1 - self.B2 ** t)) > self.THR
+            for t in range(1, 14)]
+        assert not crossed[0] and crossed[-1]
+
+
+class TestGATMultiHead:
+    def test_heads3_vs_naive(self):
+        """Multi-head GATConv vs a per-head numpy oracle (PyG 1.7
+        semantics: self-loops appended, per-destination softmax,
+        concatenated head outputs + bias)."""
+        from glam_tpu.nn.convs import GATConv
+        rng = np.random.RandomState(3)
+        N, E, C, H, F = 6, 10, 4, 3, 5
+        x = rng.randn(N, F).astype(np.float32)
+        snd = rng.randint(0, N, E).astype(np.int32)
+        rcv = rng.randint(0, N, E).astype(np.int32)
+        mod = GATConv(in_channels=F, out_channels=C, heads=H)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), None,
+                             jnp.asarray(snd), jnp.asarray(rcv))
+        got = np.asarray(mod.apply(variables, jnp.asarray(x), None,
+                                   jnp.asarray(snd), jnp.asarray(rcv)))
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+        xp = (x @ p["weight"]).reshape(N, H, C)
+        a_src = np.einsum("nhc,hc->nh", xp, p["att_src"])
+        a_dst = np.einsum("nhc,hc->nh", xp, p["att_dst"])
+        loops = np.arange(N)
+        s_all = np.concatenate([snd, loops])
+        r_all = np.concatenate([rcv, loops])
+        out = np.zeros((N, H, C), np.float32)
+        for h in range(H):
+            logits = a_src[s_all, h] + a_dst[r_all, h]
+            logits = np.where(logits >= 0, logits, 0.2 * logits)
+            for n in range(N):
+                m_ = r_all == n
+                if not m_.any():
+                    continue
+                z = logits[m_]
+                e = np.exp(z - z.max())
+                alpha = e / (e.sum() + 1e-16)
+                out[n, h] = (alpha[:, None] * xp[s_all[m_], h]).sum(0)
+        expected = out.reshape(N, H * C) + p["bias"]
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
 class TestRReLU:
     def test_eval_mode_slope(self):
         act = get_activation("RReLU")
