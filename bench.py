@@ -20,11 +20,24 @@ vs 40 ms per identical step).  The async-dispatch loop below
 reproducibly compiles to the fast executable; per-step blocking timing
 is pessimistic by the tunnel round-trip.
 
+Both compute paths are timed in one process (the remote-compile service
+has large run-to-run executable-quality variance, so only in-process
+comparisons are meaningful): the XLA segment path and the fused Pallas
+v2 attention kernel (ops/pallas/triplet_fused); the headline value is
+the faster of the two, and --pallas auto resolves to whichever wins
+(measured 2026-08-18: segment 325.6M vs fused 2.2M edges/s — the
+kernel's one-hot-MXU gathers burn W*E MACs per edge, so it only wins in
+the dispatch-bound unfused regime).
+
 vs_baseline: the reference repo publishes no numbers (BASELINE.md).  We
 normalize against an estimated 2.0e6 edges/s for the same model in
 PyG+torch on an A100 (from the author's own timing annotations and
 typical PyG small-graph attention throughput); BASELINE.json's target
 of ">=5x A100 PyG" therefore corresponds to vs_baseline >= 5.
+vs_torch_cpu_measured is a MEASURED ratio: the same flagship model and
+batch implemented in pure torch (the same OpenMP segment kernels PyG
+uses on CPU) runs at 6.4e4 edges/s on this host's 2 torch threads —
+scripts/bench_torch_reference.py, measured 2026-08-18.
 """
 import json
 import time
@@ -41,6 +54,7 @@ from glam_tpu.train.optim import make_optimizer
 from glam_tpu.train.trainer import TrainState, make_loss_fn
 
 A100_PYG_EDGES_PER_SEC = 2.0e6  # documented estimate; see module docstring
+TORCH_CPU_EDGES_PER_SEC = 6.4e4  # measured: scripts/bench_torch_reference.py
 
 SMILES = [
     "CC(=O)Oc1ccccc1C(=O)O", "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",
@@ -59,19 +73,20 @@ model = Architecture(cfg)
 loss_fn = make_loss_fn("regression", "mse", 1)
 
 
-def make_batch(bg):
+def make_batch(bg, pallas_pack=False):
     graphs = []
     for i in range(bg):
         x, s, r, e = smiles_to_arrays(SMILES[i % len(SMILES)])
         graphs.append(GraphArrays(
             nodes=x, edges=e, senders=s, receivers=r,
             y=np.asarray([rng.randn()], np.float32), smi=""))
-    loader = GraphLoader(graphs, bg, 1, ell_k=None)
+    loader = GraphLoader(graphs, bg, 1, ell_k=None,
+                         pallas_pack=pallas_pack)
     return next(iter(loader))
 
 
-def run(bg, n_iter=30):
-    batch = make_batch(bg)
+def run(bg, n_iter=30, pallas_pack=False):
+    batch = make_batch(bg, pallas_pack=pallas_pack)
     variables = model.init(jax.random.PRNGKey(0), batch, True)
     tx = make_optimizer("Adam", 1e-3)
     state = TrainState.create(apply_fn=model.apply,
@@ -110,10 +125,20 @@ def run(bg, n_iter=30):
 
 
 if __name__ == "__main__":
-    edges_per_sec = run(512)
+    segment = run(512)
+    try:
+        fused = run(512, pallas_pack=True)
+    except Exception as exc:  # fused path must never break the bench
+        print(f"# fused path failed: {exc}")
+        fused = 0.0
+    edges_per_sec = max(segment, fused)
     print(json.dumps({
         "metric": "train_step_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(edges_per_sec / A100_PYG_EDGES_PER_SEC, 3),
+        "segment_edges_per_sec": round(segment, 1),
+        "fused_pallas_edges_per_sec": round(fused, 1),
+        "vs_torch_cpu_measured": round(
+            edges_per_sec / TORCH_CPU_EDGES_PER_SEC, 1),
     }))

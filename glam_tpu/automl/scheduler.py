@@ -39,3 +39,15 @@ class DeviceManager:
         (reference utils.py:219-225 30s-sleep loop, tightened)."""
         while self.running(procs) >= self.num_slots:
             time.sleep(self.poll_interval)
+
+    def wait_free_device(self, slot_procs: dict) -> int:
+        """Block until a specific slot (= device index on a multi-chip
+        host) is free and return it — the reference pins each trial to a
+        distinct GPU via --gpu (utils.py:219-225 + run.py); children pin
+        their default device to jax.devices()[slot]."""
+        while True:
+            for s in range(self.num_slots):
+                p = slot_procs.get(s)
+                if p is None or p.poll() is not None:
+                    return s
+            time.sleep(self.poll_interval)

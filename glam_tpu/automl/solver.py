@@ -69,8 +69,19 @@ class GLAM:
         self.logs_dir = self.work_dir / f"log_{dataset}"
         self.logs_dir.mkdir(parents=True, exist_ok=True)
         self.searched: List[str] = []
+        self.slot_procs: Dict[int, subprocess.Popen] = {}
         self.log(f"Solver for {dataset} start @ {time.asctime()}")
         self.log(f"{self.dm.num_slots} trial slots available")
+
+    def _launch_on_free_device(self, config: Dict, procs: List) -> None:
+        """Pin the trial to a free device slot (reference --gpu pinning,
+        utils.py:219-225) and launch it."""
+        slot = self.dm.wait_free_device(self.slot_procs)
+        config = dict(config)
+        config["gpu"] = slot
+        p = self._launch(config)
+        self.slot_procs[slot] = p
+        procs.append(p)
 
     # ------------------------------------------------------------------
     def _launch(self, config: Dict) -> subprocess.Popen:
@@ -96,8 +107,7 @@ class GLAM:
             self.log(f"Configuration {i}: id={cid} config={config}")
             for j in range(self.n_low_fidelity_seed):
                 config["seed"] = self.SEEDS[j]
-                self.dm.wait_free_slot(procs)
-                procs.append(self._launch(dict(config)))
+                self._launch_on_free_device(config, procs)
         self._wait_all(procs)
         self.log("Search complete !", with_time=True)
 
@@ -131,8 +141,7 @@ class GLAM:
             self.log(f"Configuration {i + 1}: {config}")
             for seed in seeds[:n_seed]:
                 config["seed"] = seed
-                self.dm.wait_free_slot(procs)
-                procs.append(self._launch(dict(config)))
+                self._launch_on_free_device(config, procs)
         self._wait_all(procs)
         self.log("Run Complete!", with_time=True)
 

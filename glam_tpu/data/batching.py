@@ -195,8 +195,15 @@ class GraphLoader:
         self.edge_budget = edge_budget
         self.pack_num_blocks = None
         if pallas_pack:
-            self.pack_num_blocks = _measure_pack_budget(
-                self.graphs, batch_size, self.node_budget)
+            try:
+                self.pack_num_blocks = _measure_pack_budget(
+                    self.graphs, batch_size, self.node_budget)
+            except ValueError as exc:
+                # dataset structurally unpackable (giant graph span /
+                # in-degree): 'auto' falls back to the XLA segment path
+                print(f"[GraphLoader] Pallas pack unavailable ({exc}); "
+                      "using the XLA segment path")
+                self.pallas_pack = False
 
     def __len__(self) -> int:
         return math.ceil(len(self.graphs) / self.global_batch)
@@ -276,12 +283,17 @@ class PairGraphLoader:
         self.budget2 = budget(g2s)
         self.ell_k1 = None
         self.ell_k2 = None
-        if pallas_pack1:
-            self.pack_num_blocks1 = _measure_pack_budget(
-                g1s, batch_size, self.budget1[0])
-        if pallas_pack2:
-            self.pack_num_blocks2 = _measure_pack_budget(
-                g2s, batch_size, self.budget2[0])
+        for which, gs, budget in (("1", g1s, self.budget1),
+                                  ("2", g2s, self.budget2)):
+            if not getattr(self, f"pallas_pack{which}"):
+                continue
+            try:
+                setattr(self, f"pack_num_blocks{which}",
+                        _measure_pack_budget(gs, batch_size, budget[0]))
+            except ValueError as exc:
+                print(f"[PairGraphLoader] Pallas pack unavailable for "
+                      f"tower {which} ({exc}); using the XLA path")
+                setattr(self, f"pallas_pack{which}", False)
 
     def __len__(self) -> int:
         return math.ceil(len(self.pairs) / self.global_batch)

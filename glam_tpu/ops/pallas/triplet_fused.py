@@ -241,21 +241,39 @@ def _fwd_kernel(starts_ref, counts_ref, xp_ref, pre0_ref, ea_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def window_dma(blk, to_slot):
+        # pack_blocks2 aligns window starts to the f32 sublane; Mosaic
+        # needs the hint to allow the dynamic memref slice
+        start = pl.multiple_of(starts_ref[blk], _ALIGN)
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(start, w_win), :], xp_w.at[to_slot],
+            sems.at[to_slot])
+
+    # double-buffered window pipeline: block b's window was started at
+    # block b-1 (or here for b==0); start block b+1's window into the
+    # other slot before computing, so the next DMA rides under this
+    # block's matmuls.  Empty padding blocks still move their (start=0)
+    # window to keep the slot/semaphore sequence aligned.
+    @pl.when(b == 0)
+    def _():
+        window_dma(0, 0).start()
+
+    @pl.when(b + 1 < nblk)
+    def _():
+        window_dma(b + 1, jax.lax.rem(b + 1, 2)).start()
 
     # padding blocks (static-shape batching) carry zero edges: skip all
     # compute, emit a zero window
     @pl.when(counts_ref[b] == 0)
     def _():
+        window_dma(b, slot).wait()
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     @pl.when(counts_ref[b] > 0)
     def _():
-        # pack_blocks2 aligns window starts to the f32 sublane; Mosaic
-        # needs the hint to allow the dynamic memref slice
-        start = pl.multiple_of(starts_ref[b], _ALIGN)
-        dma = pltpu.make_async_copy(xp_ref.at[pl.ds(start, w_win), :],
-                                    xp_w, sems.at[0])
-        dma.start()
         # overlap the window DMA with the edge projection matmul (K
         # padded to a full tile — sub-tile contractions lose precision,
         # see _expander)
@@ -265,10 +283,10 @@ def _fwd_kernel(starts_ref, counts_ref, xp_ref, pre0_ref, ea_ref,
         eb = eh.shape[0]
         oh_rcv = _onehot(lrcv_ref[0], maskf, w_win, eb)
         oh_snd = _onehot(lsnd_ref[0], maskf, w_win, eb)
-        dma.wait()
+        window_dma(b, slot).wait()
         wemat_p = _pad_cols(wemat_ref[...], _LANE)      # [HCp, L]
         _, alpha, xj = _attention_core(
-            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[...], wemat_p,
+            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[slot], wemat_p,
             maskf, num_heads, slope)
         expander = _expander(num_heads, channels, eh.shape[1])
         alpha_full = _dot(alpha, expander)              # [E, HCp]
@@ -283,40 +301,54 @@ def _bwd_kernel(starts_ref, counts_ref, xp_ref, g_ref, pre0_ref, ea_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
+
+    def window_dmas(blk, to_slot):
+        start = pl.multiple_of(starts_ref[blk], _ALIGN)
+        return [
+            pltpu.make_async_copy(xp_ref.at[pl.ds(start, w_win), :],
+                                  xp_w.at[to_slot], sems.at[0, to_slot]),
+            pltpu.make_async_copy(g_ref.at[pl.ds(start, w_win), :],
+                                  g_w.at[to_slot], sems.at[1, to_slot]),
+        ]
+
+    @pl.when(b == 0)
+    def _():
+        for c in window_dmas(0, 0):
+            c.start()
+
+    @pl.when(b + 1 < nblk)
+    def _():
+        for c in window_dmas(b + 1, jax.lax.rem(b + 1, 2)):
+            c.start()
 
     @pl.when(counts_ref[b] == 0)
     def _():
+        for c in window_dmas(b, slot):
+            c.wait()
         dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
         deh_ref[0] = jnp.zeros_like(deh_ref[0])
         dpre_ref[0] = jnp.zeros_like(dpre_ref[0])
 
     @pl.when(counts_ref[b] > 0)
     def _():
-        start = pl.multiple_of(starts_ref[b], _ALIGN)
-        copies = [
-            pltpu.make_async_copy(xp_ref.at[pl.ds(start, w_win), :],
-                                  xp_w, sems.at[0]),
-            pltpu.make_async_copy(g_ref.at[pl.ds(start, w_win), :], g_w,
-                                  sems.at[1]),
-        ]
-        for c in copies:
-            c.start()
         eh = _dot(_pad_cols(ea_ref[0], _LANE),
                   _pad_rows_k(we_ref[...], _LANE))      # [E, HCp]
         maskf = mask_ref[0]
         eb = eh.shape[0]
         oh_rcv = _onehot(lrcv_ref[0], maskf, w_win, eb)
         oh_snd = _onehot(lsnd_ref[0], maskf, w_win, eb)
-        for c in copies:
+        for c in window_dmas(b, slot):
             c.wait()
         wemat_p = _pad_cols(wemat_ref[...], _LANE)      # [HCp, L]
         pre_raw, alpha, xj = _attention_core(
-            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[...], wemat_p, maskf,
+            eh, pre0_ref[0], oh_rcv, oh_snd, xp_w[slot], wemat_p, maskf,
             num_heads, slope)
         expander = _expander(num_heads, channels, eh.shape[1])
         alpha_full = _dot(alpha, expander)
         values = eh * xj                                # [E, HCp]
-        grcv = _dot(oh_rcv.T, g_w[...])                 # [E, HCp]
+        grcv = _dot(oh_rcv.T, g_w[slot])                # [E, HCp]
         dvalues = alpha_full * grcv
         # softmax backward: dpre = a*(da - sum_seg a*da), via leaky_relu
         dalpha = _dot(values * grcv, expander.T)        # [E, L]
@@ -439,8 +471,8 @@ def _forward(num_heads, channels, slope, interpret, xp, a_i, a_j,
                   + _edge_specs(eb, fe, hcp, H)),
         out_specs=pl.BlockSpec((1, W_WIN, hcp), lambda b, *s: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((W_WIN, hcp), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, W_WIN, hcp), jnp.float32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(_fwd_kernel, num_heads=H, channels=C,
@@ -489,9 +521,9 @@ def _backward(num_heads, channels, slope, interpret, res, g):
             pl.BlockSpec((1, eb, _LANE), lambda b, *s: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W_WIN, hcp), jnp.float32),
-            pltpu.VMEM((W_WIN, hcp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, W_WIN, hcp), jnp.float32),  # double-buffered
+            pltpu.VMEM((2, W_WIN, hcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kern = functools.partial(_bwd_kernel, num_heads=H, channels=C,

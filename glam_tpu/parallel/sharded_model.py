@@ -1,38 +1,49 @@
-"""Full-model inference over ONE giant graph sharded across a mesh.
+"""Full-model training/inference over ONE giant graph sharded on a mesh.
 
-Takes the parameters of a trained single-device :class:`Architecture`
-(mol_block='_TripletMessage', readout='GlobalLAPool', norms '_None',
-deterministic activations) and runs the complete forward — pre-linear,
-``message_steps`` weight-tied TripletMessage+GRU steps, gated-attention
-readout, flat + output heads — with the graph's nodes partitioned over a
-mesh axis:
+Round-2 generalization (VERDICT items 3/8): the sharded path now
+  * supports the conv family used for giant graphs — ``_TripletMessage``
+    (flagship) and ``_GCNConv`` (the reference's default protein tower,
+    src_2gi_dti_scr/run.py:19) — and all three readouts (GlobalLAPool,
+    GlobalPool5 incl. cross-shard sort-pool, Set2Set);
+  * uses the boundary-only (v2) halo exchange: each message step ships
+    just the projected features neighbor shards reference (host-planned
+    ``send_idx``) with one ``all_to_all`` over ICI — O(D*H*C) bytes
+    instead of the v1 all-gather's O(N*C);
+  * is TRAINABLE: ``make_sharded_forward`` is differentiable through the
+    shard_map (the readout leaves the manual region as a replicated
+    pooled vector; the head + loss run outside), and
+    ``make_sharded_train_step`` takes one optimizer step with gradients
+    that match the single-device :class:`Architecture` oracle
+    (tests/test_sharded_model.py).
 
-  * each message step all_gathers the projected node features over ICI
-    (halo exchange) and aggregates receiver-locally;
-  * the GRU state update, residual and activation are node-local;
-  * the GlobalLAPool softmax runs across shards with pmax/psum;
-  * the head runs replicated on the pooled vector.
+Scale motivation: protein contact-map graphs reach L~900 residues with
+dense contact neighborhoods (reference src_2gi_dti_scr/utils.py:283-293);
+partitioning the node axis over a slice bounds per-chip memory while the
+halo traffic stays proportional to the contact boundary.
 
-This is the scale-out path for graphs too large for one chip (giant
-protein contact graphs): train single-device, serve sharded.  Numerical
-equivalence with the single-device model is tested on the virtual CPU
-mesh (tests/test_sharded_model.py).
+Supported config subset (deterministic giant-graph regime): norms
+'_None', dropouts '_None()', acts in {CELU, ReLU, LeakyReLU, _None},
+optional residual, GRU state for TripletMessage (disabled for GCN, as in
+MessageBlock — reference layer.py:248).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from .graph_partition import split_large_graph
+from .graph_partition import build_halo_exchange, split_large_graph
 
-
-def _celu(x):
-    return jnp.where(x >= 0, x, jnp.expm1(x))
+ACTS = {
+    "CELU": lambda x: jnp.where(x >= 0, x, jnp.expm1(x)),
+    "ReLU": lambda x: jnp.maximum(x, 0.0),
+    "LeakyReLU": lambda x: jnp.where(x >= 0, x, 0.01 * x),
+    "_None": lambda x: x,
+}
 
 
 def _gru(p: Dict, x, h):
@@ -46,56 +57,100 @@ def _gru(p: Dict, x, h):
     return (1.0 - z) * n + z * h
 
 
-def extract_params(arch_params: Dict) -> Dict:
-    """Pull the arrays needed for the sharded forward out of a trained
-    Architecture param tree (numpy-ified)."""
+def _lstm(p: Dict, inp, h, c):
+    z = inp @ p["w_ih"] + p["b_ih"] + h @ p["w_hh"] + p["b_hh"]
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    i, f, o = (jax.nn.sigmoid(v) for v in (i, f, o))
+    c2 = f * c + i * jnp.tanh(g)
+    return o * jnp.tanh(c2), c2
+
+
+def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
+                   readout: str = "GlobalLAPool") -> Dict:
+    """Pull the arrays the sharded forward needs out of a trained
+    Architecture param tree (any conv/readout in the supported subset)."""
     mol = arch_params["mol"]
-    conv = mol["conv"]["TripletMessage_0"]
-    return jax.tree_util.tree_map(jnp.asarray, {
+    kind = conv.strip().lstrip("_")
+    convp = mol["conv"][f"{kind}_0"]
+    out = {
         "lin0": {"kernel": mol["lin0"]["linear"]["kernel"],
                  "bias": mol["lin0"]["linear"]["bias"]},
-        "conv": {k: conv[k] for k in
-                 ("weight_node", "weight_edge", "weight_triplet_att",
-                  "weight_scale", "bias")},
-        "gru": {k: mol["conv"]["gru"][k]
-                for k in ("w_ih", "w_hh", "b_ih", "b_hh")},
-        "gate": {"kernel": mol["readout"]["gate_nn"]["kernel"],
-                 "bias": mol["readout"]["gate_nn"]["bias"]},
-        "val": {"kernel": mol["readout"]["nn"]["kernel"],
-                "bias": mol["readout"]["nn"]["bias"]},
-        # note: readouts are named modules ("readout") as of this
-        # version; older checkpoints used auto names like GlobalLAPool_0
         "flat": {"kernel": mol["flat"]["linear"]["kernel"],
                  "bias": mol["flat"]["linear"]["bias"]},
         "out": {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
                 "bias": arch_params["lin_out1"]["linear"]["bias"]},
-    })
+    }
+    if conv.strip() == "_TripletMessage":
+        out["conv"] = {k: convp[k] for k in
+                       ("weight_node", "weight_edge",
+                        "weight_triplet_att", "weight_scale", "bias")}
+        out["gru"] = {k: mol["conv"]["gru"][k]
+                      for k in ("w_ih", "w_hh", "b_ih", "b_hh")}
+    elif conv.strip() == "_GCNConv":
+        out["conv"] = {"weight": convp["weight"], "bias": convp["bias"]}
+    else:
+        raise ValueError(f"sharded path: unsupported conv {conv!r}")
+    # GlobalPool5 has no parameters, so flax omits the module entirely
+    ro = mol.get("readout", {})
+    if readout == "GlobalLAPool":
+        out["gate"] = {"kernel": ro["gate_nn"]["kernel"],
+                       "bias": ro["gate_nn"]["bias"]}
+        out["val"] = {"kernel": ro["nn"]["kernel"], "bias": ro["nn"]["bias"]}
+    elif readout == "Set2Set":
+        out["lstm"] = {"w_ih": ro["lstm_w_ih"], "w_hh": ro["lstm_w_hh"],
+                       "b_ih": ro["lstm_b_ih"], "b_hh": ro["lstm_b_hh"]}
+    elif readout != "GlobalPool5":
+        raise ValueError(f"sharded path: unsupported readout {readout!r}")
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def _halo_table(z_local, send_idx, axis):
+    """Boundary-only exchange of any per-node array: ship the rows
+    neighbor shards reference (one all_to_all over ICI) and append them
+    to the local table.  Edge senders were remapped into this layout by
+    :func:`glam_tpu.parallel.graph_partition.build_halo_exchange`."""
+    send = z_local[send_idx]                      # [D, H, ...]
+    halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=False)        # [D, H, ...]
+    return jnp.concatenate(
+        [z_local, halo.reshape((-1,) + z_local.shape[1:])], axis=0)
 
 
 def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
-                         axis: str = "graph"):
-    """Build the jitted sharded forward.
+                         conv: str = "_TripletMessage",
+                         readout: str = "GlobalLAPool",
+                         graph_act: str = "CELU", pre_act: str = "CELU",
+                         flat_act: str = "CELU", residual: bool = True,
+                         sort_k: int = 3, axis: str = "graph"):
+    """Differentiable sharded forward over one giant graph.
 
     Returns fn(params, node_shards [D,Nl,F], edge_shards [D,El,Fe],
-    senders_global [D,El], receivers_local [D,El], edge_mask [D,El],
-    node_mask [D,Nl]) -> scalar prediction [out_dim]."""
+    senders_local [D,El], receivers_local [D,El], edge_mask [D,El],
+    node_mask [D,Nl], send_idx [D,D,H], edge_norm [D,El],
+    self_norm [D,Nl]) -> prediction [out_dim].  ``senders_local`` and
+    ``send_idx`` come from :func:`shard_inputs`; edge_norm/self_norm are
+    the host-precomputed GCN symmetric normalization (ignored for
+    TripletMessage)."""
+    act_g = ACTS[graph_act.strip()]
+    act_pre = ACTS[pre_act.strip()]
+    act_flat = ACTS[flat_act.strip()]
+    use_gru = conv.strip() == "_TripletMessage"
 
-    def triplet_step(p, x_local, x_prev_h, edges_l, snd_g, rcv_l, emask,
-                     nmask):
+    def triplet_step(p, x_local, h_prev, edges_l, snd_l, rcv_l, emask,
+                     nmask, send_idx):
         C = x_local.shape[-1]
         H = heads
         xp = x_local @ p["conv"]["weight_node"]          # [Nl, H*C]
-        ep = edges_l @ p["conv"]["weight_edge"]          # [El, H*C]
         watt = p["conv"]["weight_triplet_att"]           # [H, 3C]
         xh = xp.reshape(-1, H, C)
-        eh = ep.reshape(-1, H, C)
+        eh = (edges_l @ p["conv"]["weight_edge"]).reshape(-1, H, C)
         a_i = jnp.einsum("nhc,hc->nh", xh, watt[:, :C])
         a_j = jnp.einsum("nhc,hc->nh", xh, watt[:, 2 * C:])
         a_e = jnp.einsum("ehc,hc->eh", eh, watt[:, C:2 * C])
-        # halo exchange: global tables of projected features + a_j
-        xh_all = jax.lax.all_gather(xh, axis).reshape(-1, H, C)
-        a_j_all = jax.lax.all_gather(a_j, axis).reshape(-1, H)
-        logits = a_i[rcv_l] + a_e + a_j_all[snd_g]       # [El, H]
+        # v2 halo: ship only the boundary rows neighbors reference
+        xh_t = _halo_table(xh, send_idx, axis)           # [Nl+D*H, H, C]
+        a_j_t = _halo_table(a_j, send_idx, axis)
+        logits = a_i[rcv_l] + a_e + a_j_t[snd_l]         # [El, H]
         logits = jnp.where(logits >= 0, logits, 0.2 * logits)
         logits = jnp.where(emask[:, None], logits, -jnp.inf)
         Nl = x_local.shape[0]
@@ -105,66 +160,172 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
                        0.0)
         denom = jax.ops.segment_sum(ex, rcv_l, num_segments=Nl)
         alpha = ex / (denom[rcv_l] + 1e-16)
-        msg = alpha[:, :, None] * eh * xh_all[snd_g]     # [El, H, C]
+        msg = alpha[:, :, None] * eh * xh_t[snd_l]       # [El, H, C]
         aggr = jax.ops.segment_sum(msg.reshape(-1, H * C), rcv_l,
                                    num_segments=Nl)
         y = aggr @ p["conv"]["weight_scale"] + p["conv"]["bias"]
-        # celu -> GRU -> residual -> act (MessageBlock, graph_act=CELU)
-        y = _celu(y)
-        y = _gru(p["gru"], y, x_prev_h)
+        # MessageBlock: celu -> GRU -> residual -> act
+        y = ACTS["CELU"](y)
+        y = _gru(p["gru"], y, h_prev)
         h_new = y
-        y = y + x_local
-        y = _celu(y)
+        if residual:
+            y = y + x_local
+        y = act_g(y)
         return y * nmask[:, None], h_new
 
-    def forward_local(params, nodes_l, edges_l, snd_g, rcv_l, emask,
-                      nmask):
-        nodes_l = nodes_l[0]
-        edges_l = edges_l[0]
-        snd_g = snd_g[0]
-        rcv_l = rcv_l[0]
-        emask = emask[0]
-        nmask = nmask[0]
+    def gcn_step(p, x_local, h_prev, edges_l, snd_l, rcv_l, emask, nmask,
+                 send_idx, enorm, self_norm):
+        xp = x_local @ p["conv"]["weight"]
+        xp_t = _halo_table(xp, send_idx, axis)
+        Nl = x_local.shape[0]
+        w = jnp.where(emask, enorm, 0.0)
+        out = jax.ops.segment_sum(w[:, None] * xp_t[snd_l], rcv_l,
+                                  num_segments=Nl)
+        y = out + self_norm[:, None] * xp + p["conv"]["bias"]
+        # GRU disabled for GCN (MessageBlock.has_gru, layer.py:248)
+        if residual:
+            y = y + x_local
+        y = act_g(y)
+        return y * nmask[:, None], h_prev
+
+    def pool(params, x, nmask):
+        if readout == "GlobalLAPool":
+            gate = (x @ params["gate"]["kernel"]
+                    + params["gate"]["bias"])[:, 0]
+            gate = jnp.where(nmask, gate, -jnp.inf)
+            # softmax max-shift cancels analytically -> no grad needed;
+            # stop_gradient on the INPUT keeps pmax (which has no
+            # differentiation rule) out of the jvp trace entirely
+            gmax = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(gate)), axis)
+            ex = jnp.where(nmask, jnp.exp(gate - gmax), 0.0)
+            denom = jax.lax.psum(jnp.sum(ex), axis) + 1e-16
+            val = x @ params["val"]["kernel"] + params["val"]["bias"]
+            return jax.lax.psum(jnp.sum(ex[:, None] * val, axis=0),
+                                axis) / denom             # [2C]
+        if readout == "GlobalPool5":
+            m = nmask[:, None]
+            total = jax.lax.psum(jnp.sum(x * m, axis=0), axis)
+            cnt = jax.lax.psum(jnp.sum(nmask.astype(x.dtype)), axis)
+            mean = total / jnp.maximum(cnt, 1.0)
+            # cross-shard sort-pool: local top-k by last channel, then
+            # global top-k over the gathered D*k candidates (same
+            # descending order + index tie-breaks as global_sort_pool)
+            keys = jnp.where(nmask, x[:, -1], -jnp.inf)
+            kv, ki = jax.lax.top_k(keys, sort_k)          # [k]
+            rows = x[ki]                                  # [k, C]
+            kv_all = jax.lax.all_gather(kv, axis).reshape(-1)
+            rows_all = jax.lax.all_gather(rows, axis).reshape(
+                -1, x.shape[-1])
+            gv, gi = jax.lax.top_k(kv_all, sort_k)
+            top = jnp.where(jnp.isfinite(gv)[:, None], rows_all[gi], 0.0)
+            return jnp.concatenate([mean, total, top.reshape(-1)])  # [5C]
+        # Set2Set (processing_steps=3): replicated LSTM state, sharded
+        # attention
+        C = x.shape[-1]
+        q_star = jnp.zeros((2 * C,), x.dtype)
+        h = jnp.zeros((C,), x.dtype)
+        c = jnp.zeros((C,), x.dtype)
+        for _ in range(3):
+            q, c = _lstm(params["lstm"], q_star[None], h[None],
+                         c[None])
+            q = q[0]
+            c = c[0]
+            h = q
+            e = jnp.where(nmask, x @ q, -jnp.inf)
+            emax = jax.lax.pmax(
+                jax.lax.stop_gradient(jnp.max(e)), axis)
+            ex = jnp.where(nmask, jnp.exp(e - emax), 0.0)
+            den = jax.lax.psum(jnp.sum(ex), axis) + 1e-16
+            r = jax.lax.psum(jnp.sum(ex[:, None] * x, axis=0),
+                             axis) / den
+            q_star = jnp.concatenate([q, r])
+        return q_star                                     # [2C]
+
+    def tower_local(params, nodes_l, edges_l, snd_l, rcv_l, emask, nmask,
+                    send_idx, enorm, self_norm):
+        nodes_l, edges_l, snd_l, rcv_l, emask, nmask, send_idx, enorm, \
+            self_norm = (a[0] for a in (nodes_l, edges_l, snd_l, rcv_l,
+                                        emask, nmask, send_idx, enorm,
+                                        self_norm))
         x = nodes_l @ params["lin0"]["kernel"] + params["lin0"]["bias"]
-        x = _celu(x)                                     # pre_act=CELU
+        x = act_pre(x)
         x = x * nmask[:, None]
         h = x
         for _ in range(message_steps):
-            x, h = triplet_step(params, x, h, edges_l, snd_g, rcv_l,
-                                emask, nmask)
-        # GlobalLAPool across shards: softmax(gate) . val
-        gate = (x @ params["gate"]["kernel"]
-                + params["gate"]["bias"])[:, 0]          # [Nl]
-        gate = jnp.where(nmask, gate, -jnp.inf)
-        gmax = jax.lax.pmax(jnp.max(gate), axis)
-        ex = jnp.where(nmask, jnp.exp(gate - gmax), 0.0)
-        denom = jax.lax.psum(jnp.sum(ex), axis) + 1e-16
-        val = x @ params["val"]["kernel"] + params["val"]["bias"]
-        pooled = jax.lax.psum(jnp.sum(ex[:, None] * val, axis=0),
-                              axis) / denom              # [2C]
-        out = pooled @ params["flat"]["kernel"] + params["flat"]["bias"]
-        out = _celu(out)                                 # flat_act=CELU
-        out = out @ params["out"]["kernel"] + params["out"]["bias"]
-        return out[None]
+            if use_gru:
+                x, h = triplet_step(params, x, h, edges_l, snd_l, rcv_l,
+                                    emask, nmask, send_idx)
+            else:
+                x, h = gcn_step(params, x, h, edges_l, snd_l, rcv_l,
+                                emask, nmask, send_idx, enorm, self_norm)
+        return pool(params, x, nmask)  # replicated (psum'd) vector
 
-    sharded = jax.shard_map(
-        forward_local, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
-        out_specs=P(axis))
-    return jax.jit(lambda p, *a: sharded(p, *a)[0])
+    # check_vma=False: the sort-pool path derives its (genuinely
+    # replicated) output from an all_gather, which the static
+    # varying-axes analysis cannot prove replicated
+    tower = jax.shard_map(
+        tower_local, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 9,
+        out_specs=P(), check_vma=False)
+
+    def forward(params, *inputs):
+        pooled = tower(params, *inputs)
+        out = pooled @ params["flat"]["kernel"] + params["flat"]["bias"]
+        out = act_flat(out)
+        return out @ params["out"]["kernel"] + params["out"]["bias"]
+
+    return jax.jit(forward)
+
+
+def make_sharded_train_step(mesh, message_steps: int, lr: float = 1e-3,
+                            **kw):
+    """One SGD training step on a sharded giant graph: full fwd+bwd
+    through the shard_map'd tower (halo exchanges differentiate to the
+    transposed collectives), gradients exact vs the single-device model.
+
+    Returns step(params, inputs_tuple, y) -> (params, loss)."""
+    fwd = make_sharded_forward(mesh, message_steps, **kw)
+
+    def loss_fn(params, inputs, y):
+        pred = fwd(params, *inputs)
+        return jnp.mean((pred - y) ** 2)
+
+    @jax.jit
+    def step(params, inputs, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, inputs, y)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+        return params, loss
+
+    return step
 
 
 def shard_inputs(nodes: np.ndarray, edges: np.ndarray,
                  senders: np.ndarray, receivers: np.ndarray,
                  n_parts: int):
-    """Host-side partitioning incl. a real-node mask per shard."""
+    """Host-side partitioning for the v2 sharded model: node/edge shards,
+    halo plan, node mask, and the GCN symmetric normalization
+    (global-degree, self-loops — PyG GCNConv semantics)."""
     nsh, esh, sg, rl, emask = split_large_graph(nodes, edges, senders,
                                                 receivers, n_parts)
     N = nodes.shape[0]
     Nl = nsh.shape[1]
+    send_idx, _, snd_l, _ = build_halo_exchange(sg, emask, Nl)
     nmask = np.zeros((n_parts, Nl), bool)
     for d in range(n_parts):
         lo = d * Nl
         nmask[d, :max(0, min(Nl, N - lo))] = True
-    return nsh, esh, sg, rl, emask, nmask
+    # GCN normalization on GLOBAL degrees (in-degree + self-loop)
+    deg = np.bincount(receivers, minlength=N).astype(np.float32) + 1.0
+    dinv = 1.0 / np.sqrt(deg)
+    enorm = np.zeros(emask.shape, np.float32)
+    self_norm = np.zeros((n_parts, Nl), np.float32)
+    for d in range(n_parts):
+        for e in range(emask.shape[1]):
+            if emask[d, e]:
+                enorm[d, e] = dinv[sg[d, e]] * dinv[rl[d, e] + d * Nl]
+        n_real = max(0, min(Nl, N - d * Nl))
+        dd = dinv[d * Nl:d * Nl + n_real]
+        self_norm[d, :n_real] = dd * dd
+    return nsh, esh, snd_l, rl, emask, nmask, send_idx, enorm, self_norm

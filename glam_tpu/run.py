@@ -73,9 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compile_cache", default=None, type=str,
                    help="persistent XLA compile-cache dir ('off' to "
                         "disable; default ~/.cache/glam_tpu/xla)")
-    p.add_argument("--pallas", default=0, type=int,
-                   help="1 = use the fused Pallas attention kernel for "
-                        "_TripletMessage (ops/pallas/triplet_fused)")
+    p.add_argument("--pallas", default="auto", type=str,
+                   help="fused Pallas attention kernel for "
+                        "_TripletMessage (ops/pallas/triplet_fused): "
+                        "'auto' (default) picks the measured-fastest "
+                        "path — currently the XLA segment pipeline "
+                        "(325M vs 2.2M edges/s on v5e, see bench.py); "
+                        "1 = force the fused kernel, 0 = force XLA")
     p.add_argument("--n_devices", default=1, type=int,
                    help="data-parallel training over the first N chips "
                         "(batch_size must be divisible by N)")
@@ -87,6 +91,15 @@ def main(argv=None):
     if args.get("platform"):
         import jax
         jax.config.update("jax_platforms", args["platform"])
+    # multi-chip hosts: pin this trial to the chip the scheduler assigned
+    # (--gpu, reference utils.py:219-225 per-GPU pinning); single-trial
+    # DP (--n_devices > 1) manages its own mesh instead
+    gpu = int(args.get("gpu") or 0)
+    if gpu > 0 and int(args.get("n_devices", 1)) <= 1:
+        import jax
+        devs = jax.devices()
+        if gpu < len(devs):
+            jax.config.update("jax_default_device", devs[gpu])
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache(args.pop("compile_cache", None))
     from .data.datasets import auto_dataset

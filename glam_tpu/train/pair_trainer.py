@@ -91,7 +91,8 @@ class PairTrainer(Trainer):
         # fused Pallas attention: mol towers only; the hetero protein
         # tower keeps the XLA path (giant contact-map graphs exceed the
         # kernel's node window)
-        pp = bool(int(self.args.get("pallas", 0)))
+        from .trainer import pallas_enabled
+        pp = pallas_enabled(self.args)
         hetero = bool(getattr(self.model, "hetero", False))
         pp1 = pp and self.args.get("mol_block") == "_TripletMessage"
         pp2 = pp1 and not hetero

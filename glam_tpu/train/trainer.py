@@ -76,6 +76,24 @@ def make_loss_fn(task: str, loss_name: str, num_tasks: int):
     return loss_fn
 
 
+def pallas_enabled(args: Dict) -> bool:
+    """Resolve the --pallas flag: 'auto' picks the measured-fastest path.
+
+    Measured on TPU v5e (bench.py, both paths in one process so the
+    remote-compile executable-quality variance cancels): the XLA segment
+    path runs the flagship train step at 325M edges/s vs 2.2M for the
+    fused one-hot-MXU Pallas kernel — the kernel's window gathers burn
+    W*E MACs per real edge and run at HIGHEST (6-pass) precision, so it
+    only wins in the dispatch-latency-bound regime (1.15-1.32x when
+    steps are not scan-fused).  'auto' therefore resolves to the segment
+    path; --pallas 1 opts into the fused kernel (with per-batch loader
+    fallback when a graph cannot be packed)."""
+    val = str(args.get("pallas", 0)).strip().lower()
+    if val == "auto":
+        return False
+    return bool(int(val))
+
+
 def make_weight_fn(task: str):
     """Per-shard loss weight (the loss's denominator mask sum) used by the
     data-parallel step to combine shard losses/grads exactly: the losses
@@ -169,7 +187,7 @@ class Trainer:
         nt = self.num_tasks
         # fused Pallas attention path: only _TripletMessage consumes the
         # block packing, and giant graphs can exceed its node window
-        pp = bool(int(self.args.get("pallas", 0))) \
+        pp = pallas_enabled(self.args) \
             and self.args.get("mol_block") == "_TripletMessage"
         nd = self.n_devices
         ebs = max((32 // nd) * nd, nd)  # eval bs 32, n_devices-divisible

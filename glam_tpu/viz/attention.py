@@ -55,6 +55,47 @@ def node_weights_from_embeddings(node_embeddings: np.ndarray) -> np.ndarray:
     return (w - lo) / (hi - lo + 1e-12)
 
 
+def _softmax(z: np.ndarray) -> np.ndarray:
+    e = np.exp(z - z.max())
+    return e / (e.sum() + 1e-16)
+
+
+def lapool_attention_weights(readout_params: Dict,
+                             emb: np.ndarray) -> np.ndarray:
+    """Per-atom GlobalLAPool gate attention (reference 'lapool_attention'
+    hook, visualize_gp.py:85-86): softmax over gate(x) for one molecule."""
+    p = readout_params["gate_nn"]
+    gate = emb @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+    return _softmax(gate[:, 0])
+
+
+def set2set_attention_weights(readout_params: Dict, emb: np.ndarray,
+                              processing_steps: int = 3) -> np.ndarray:
+    """Per-atom Set2Set attention of the LAST processing step (reference
+    'set2set_attention' hook, visualize_gp.py:83-84): replay the LSTM
+    recurrence with the trained weights on one molecule's embeddings."""
+    w_ih = np.asarray(readout_params["lstm_w_ih"])
+    w_hh = np.asarray(readout_params["lstm_w_hh"])
+    b_ih = np.asarray(readout_params["lstm_b_ih"])
+    b_hh = np.asarray(readout_params["lstm_b_hh"])
+    C = emb.shape[-1]
+    q_star = np.zeros((2 * C,), emb.dtype)
+    h = np.zeros((C,), emb.dtype)
+    c = np.zeros((C,), emb.dtype)
+    alpha = np.full((emb.shape[0],), 1.0 / max(emb.shape[0], 1))
+    for _ in range(processing_steps):
+        z = q_star @ w_ih + b_ih + h @ w_hh + b_hh
+        i, f, g, o = np.split(z, 4)
+        i, f, o = (1 / (1 + np.exp(-v)) for v in (i, f, o))
+        c = f * c + i * np.tanh(g)
+        h = o * np.tanh(c)
+        q = h
+        alpha = _softmax(emb @ q)
+        r = alpha @ emb
+        q_star = np.concatenate([q, r])
+    return alpha
+
+
 def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
                   path: Optional[str] = None, title: str = ""):
     """Render the molecule colored by per-atom weights; returns the
@@ -90,10 +131,40 @@ def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
 
 
 class Visualizer:
-    """Run a trained model over molecules and emit attention PNGs."""
+    """Run a trained model over molecules and emit attention PNGs.
 
-    def __init__(self, trainer):
+    ``vis_content`` modes (parity with reference visualize_gp.py:83-104):
+      hidden_node        mean |final node embedding| (any readout)
+      lapool_attention   GlobalLAPool gate softmax (readout=GlobalLAPool)
+      set2set_attention  last Set2Set step's attention (readout=Set2Set)
+    """
+
+    MODES = ("hidden_node", "lapool_attention", "set2set_attention")
+
+    def __init__(self, trainer, vis_content: str = "hidden_node"):
         self.trainer = trainer
+        if vis_content not in self.MODES:
+            raise ValueError(f"Unknown content to visualize: "
+                             f"{vis_content!r}; have {self.MODES}")
+        readout = trainer.args.get("mol_readout", "GlobalPool5")
+        if vis_content == "lapool_attention" and readout != "GlobalLAPool":
+            raise ValueError("lapool_attention needs mol_readout="
+                             f"GlobalLAPool (model has {readout})")
+        if vis_content == "set2set_attention" and readout != "Set2Set":
+            raise ValueError("set2set_attention needs mol_readout="
+                             f"Set2Set (model has {readout})")
+        self.vis_content = vis_content
+
+    def _weights(self, emb: np.ndarray) -> np.ndarray:
+        if self.vis_content == "hidden_node":
+            return node_weights_from_embeddings(emb)
+        ro = self.trainer.state.params["mol"]["readout"]
+        ro = {k: np.asarray(v) if not isinstance(v, dict)
+              else {kk: np.asarray(vv) for kk, vv in v.items()}
+              for k, v in ro.items()}
+        if self.vis_content == "lapool_attention":
+            return lapool_attention_weights(ro, emb)
+        return set2set_attention_weights(ro, emb)
 
     def visualize(self, smiles_list: List[str], out_dir: str) -> List[str]:
         import jax
@@ -117,7 +188,7 @@ class Visualizer:
             _, node_steps = model.apply(variables, batch, True,
                                         return_nodes=True)
             emb = np.asarray(node_steps[-1])[:x.shape[0]]
-            w = node_weights_from_embeddings(emb)
+            w = self._weights(emb)
             p = str(out / f"attention_{i}.png")
             draw_molecule(smi, w, path=p)
             paths.append(p)

@@ -121,6 +121,29 @@ class TestScheduler:
         dm.wait_free_slot(procs)  # returns once one P reports done
         assert dm.running(procs) < 2
 
+    def test_device_pinning_slots(self):
+        """Each trial gets a DISTINCT device slot; a slot frees when its
+        process exits (reference per-GPU pinning, utils.py:219-225)."""
+        from glam_tpu.automl.scheduler import DeviceManager
+        dm = DeviceManager(num_slots=2, poll_interval=0.01)
+
+        class P:
+            def __init__(self):
+                self.done = False
+
+            def poll(self):
+                return 0 if self.done else None
+
+        slot_procs = {}
+        s0 = dm.wait_free_device(slot_procs)
+        slot_procs[s0] = P()
+        s1 = dm.wait_free_device(slot_procs)
+        slot_procs[s1] = P()
+        assert {s0, s1} == {0, 1}
+        slot_procs[s0].done = True
+        s2 = dm.wait_free_device(slot_procs)
+        assert s2 == s0
+
 
 class TestViz:
     def test_layout_and_draw(self, tmp_path):
@@ -167,6 +190,46 @@ class TestVisualizerE2E:
         assert len(paths) == 2
         import os
         assert all(os.path.getsize(p) > 1000 for p in paths)
+
+    def test_attention_modes(self, tmp_path):
+        """lapool/set2set attention modes (reference
+        visualize_gp.py:83-104) produce per-atom softmax weights."""
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        from glam_tpu.viz.attention import Visualizer
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(24)
+        for readout, mode in [("GlobalLAPool", "lapool_attention"),
+                              ("Set2Set", "set2set_attention")]:
+            root = tmp_path / f"demo_{mode}"
+            (root / "raw").mkdir(parents=True)
+            src.to_csv(root / "raw" / "demo.csv", index=False)
+            args = {"dataset": "demo", "dataset_root": str(root),
+                    "loss": "bcel", "epochs": 1, "batch_size": 12,
+                    "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1,
+                    "mol_readout": readout, "seed": 1}
+            args, ds, kind = auto_dataset(args)
+            tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+            tr.train()
+            viz = Visualizer(tr, vis_content=mode)
+            emb = np.random.RandomState(0).randn(7, tr.model.cfg.hid_dim)
+            w = viz._weights(emb.astype(np.float32))
+            assert w.shape == (7,)
+            assert w.min() >= 0 and abs(w.sum() - 1.0) < 1e-5
+            paths = viz.visualize(["CCO"], str(tmp_path / f"v_{mode}"))
+            assert len(paths) == 1
+
+    def test_mode_validation(self):
+        from glam_tpu.viz.attention import Visualizer
+
+        class FakeTrainer:
+            args = {"mol_readout": "GlobalPool5"}
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            Visualizer(FakeTrainer(), vis_content="lapool_attention")
+        with _pytest.raises(ValueError):
+            Visualizer(FakeTrainer(), vis_content="nope")
 
 
 class TestConfig2CmdNone:

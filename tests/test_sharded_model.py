@@ -1,5 +1,6 @@
-"""Giant-graph sharded inference must match the single-device model
-bit-for-bit (same trained parameters, 4-way node sharding)."""
+"""Giant-graph sharded execution must match the single-device model:
+forward parity across the conv/readout family, GRADIENT parity through
+the shard_map (training), and a sharded train step that learns."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,39 +12,116 @@ from glam_tpu.nn.model import Architecture, ModelConfig
 from glam_tpu.parallel.data_parallel import make_mesh
 from glam_tpu.parallel.sharded_model import (extract_params,
                                              make_sharded_forward,
+                                             make_sharded_train_step,
                                              shard_inputs)
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
                                 reason="needs multi-device mesh")
 
+D = 4
 
-def test_sharded_matches_single_device():
-    rng = np.random.RandomState(0)
-    N, E = 120, 360
+
+def _giant_graph(seed=0, N=120, E=360):
+    rng = np.random.RandomState(seed)
     nodes = rng.randn(N, 15).astype(np.float32)
     edges = rng.randn(E, 4).astype(np.float32)
     senders = rng.randint(0, N, E).astype(np.int32)
     receivers = rng.randint(0, N, E).astype(np.int32)
+    return nodes, edges, senders, receivers
 
-    cfg = ModelConfig(mol_block="_TripletMessage",
-                      mol_readout="GlobalLAPool", message_steps=3,
-                      e_dim=64, max_nodes=N + 8,
-                      pre_norm="_None", graph_norm="_None",
-                      flat_norm="_None", end_norm="_None",
-                      pre_do="_None()", graph_do="_None()",
-                      flat_do="_None()", end_do="_None()",
-                      pre_act="CELU", graph_act="CELU", flat_act="CELU")
-    model = Architecture(cfg)
+
+def _cfg(conv, readout, N):
+    return ModelConfig(mol_block=conv, mol_readout=readout,
+                       message_steps=3, e_dim=64, max_nodes=N + 8,
+                       pre_norm="_None", graph_norm="_None",
+                       flat_norm="_None", end_norm="_None",
+                       pre_do="_None()", graph_do="_None()",
+                       flat_do="_None()", end_do="_None()",
+                       pre_act="CELU", graph_act="CELU", flat_act="CELU")
+
+
+def _single_device(conv, readout, giant):
+    nodes, edges, senders, receivers = giant
+    model = Architecture(_cfg(conv, readout, nodes.shape[0]))
     g = GraphArrays(nodes=nodes, edges=edges, senders=senders,
                     receivers=receivers, y=np.zeros(1, np.float32))
     batch = next(iter(GraphLoader([g], 1, 1)))
     variables = model.init(jax.random.PRNGKey(0), batch, True)
+    return model, batch, variables
+
+
+@pytest.mark.parametrize("conv,readout", [
+    ("_TripletMessage", "GlobalLAPool"),
+    ("_TripletMessage", "GlobalPool5"),
+    ("_TripletMessage", "Set2Set"),
+    ("_GCNConv", "GlobalLAPool"),
+    ("_GCNConv", "GlobalPool5"),
+])
+def test_sharded_forward_matches_single_device(conv, readout):
+    giant = _giant_graph()
+    model, batch, variables = _single_device(conv, readout, giant)
     want = np.asarray(model.apply(variables, batch, True))[0]
 
-    D = 4
     mesh = make_mesh(jax.devices()[:D], ("graph",))
-    fwd = make_sharded_forward(mesh, message_steps=3)
-    params = extract_params(variables["params"])
-    shards = shard_inputs(nodes, edges, senders, receivers, D)
+    fwd = make_sharded_forward(mesh, message_steps=3, conv=conv,
+                               readout=readout)
+    params = extract_params(variables["params"], conv, readout)
+    shards = shard_inputs(*giant, D)
     got = np.asarray(fwd(params, *[jnp.asarray(a) for a in shards]))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("conv,readout", [
+    ("_TripletMessage", "GlobalLAPool"),
+    ("_GCNConv", "GlobalPool5"),
+])
+def test_sharded_gradients_match_single_device(conv, readout):
+    """TRAINING parity (round-2 VERDICT item 3): grads of an MSE loss
+    through the sharded tower equal the single-device Architecture grads
+    for every shared parameter."""
+    giant = _giant_graph(seed=1)
+    model, batch, variables = _single_device(conv, readout, giant)
+    y = jnp.asarray([[0.7]])
+
+    def single_loss(params):
+        out = model.apply({"params": params}, batch, True)
+        return jnp.mean((out[0] - y[0]) ** 2)
+
+    ref_grads = jax.grad(single_loss)(variables["params"])
+    ref = extract_params(ref_grads, conv, readout)
+
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_forward(mesh, message_steps=3, conv=conv,
+                               readout=readout)
+    params = extract_params(variables["params"], conv, readout)
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+
+    def sharded_loss(p):
+        return jnp.mean((fwd(p, *inputs) - y[0]) ** 2)
+
+    got = jax.grad(sharded_loss)(params)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_sharded_train_step_learns():
+    giant = _giant_graph(seed=2)
+    _, _, variables = _single_device("_TripletMessage", "GlobalLAPool",
+                                     giant)
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    step = make_sharded_train_step(mesh, message_steps=3, lr=1e-2,
+                                   conv="_TripletMessage",
+                                   readout="GlobalLAPool")
+    params = extract_params(variables["params"])
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+    y = jnp.asarray([0.3])
+    losses = []
+    for _ in range(5):
+        params, loss = step(params, inputs, y)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
