@@ -178,6 +178,32 @@ class TestDTIRunCLI:
         assert last.count("|") == 2  # parseable final triple
 
 
+class TestDDISolverE2E:
+    def test_search_refine_blend(self, ddi_root, tmp_path):
+        """The complete pair-task AutoML loop — random search
+        (subprocess trials), log parsing/ranking, high-fidelity rerun,
+        mean-score blending — through glam_tpu.automl.solver.GLAM
+        ('AutoML over molecular interactions', GLAM's title claim)."""
+        import os
+        from glam_tpu.automl.solver import GLAM
+        env = dict(os.environ, GLAM_TPU_TRIAL_SLOTS="2")
+        s = GLAM(dataset="drugbank_caster", dataset_root=str(ddi_root),
+                 n_init_configs=2, n_low_fidelity_seed=1, n_top_blend=2,
+                 n_high_fidelity_seed=1, seed=11,
+                 work_dir=str(tmp_path), low_fidelity_epochs=1,
+                 high_fidelity_epochs=1, platform="cpu", env=env)
+        s.low_fidelity_training()
+        s.high_fidelity_training()
+        result = s.blend_and_inference()
+        assert result is not None and "auc" in result
+        assert np.isfinite(result["auc"])
+        # artifacts: solver log + per-run logs with the parseable line
+        assert (tmp_path / "log_drugbank_caster"
+                / "solver_log.txt").exists()
+        assert (tmp_path / "log_drugbank_caster"
+                / "inf_ckpt_selected.csv").exists()
+
+
 class TestVoteBlend:
     def test_dti_vote_and_mean_score(self):
         from glam_tpu.automl.ensemble import _blend_outputs
