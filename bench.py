@@ -85,7 +85,7 @@ def make_batch(bg, pallas_pack=False):
     return next(iter(loader))
 
 
-def run(bg, n_iter=30, pallas_pack=False):
+def run(bg, n_iter=30, pallas_pack=False, dtype=jnp.float32):
     batch = make_batch(bg, pallas_pack=pallas_pack)
     variables = model.init(jax.random.PRNGKey(0), batch, True)
     tx = make_optimizer("Adam", 1e-3)
@@ -93,11 +93,18 @@ def run(bg, n_iter=30, pallas_pack=False):
                               params=variables["params"], tx=tx,
                               batch_stats=variables.get("batch_stats", {}))
 
+    def to_compute(tree):  # Trainer's mixed-precision semantics
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
     def train_step(state, b, rng):
         def compute(p):
-            out = model.apply({"params": p}, b, False,
-                              rngs={"dropout": rng})
-            return loss_fn(out, b.y, b.graph_mask)
+            out = model.apply({"params": to_compute(p)}, to_compute(b),
+                              False, rngs={"dropout": rng})
+            return loss_fn(out.astype(jnp.float32), b.y, b.graph_mask)
         loss, grads = jax.value_and_grad(compute)(state.params)
         return state.apply_gradients(grads=grads), loss
 
@@ -125,6 +132,11 @@ def run(bg, n_iter=30, pallas_pack=False):
 
 
 if __name__ == "__main__":
+    # NOTE a bf16 compute-dtype variant (run(512, dtype=jnp.bfloat16))
+    # was measured 2026-08-18: the remote-compile service handed it a
+    # slow executable (2.0M edges/s vs 429.6M f32 in the same process),
+    # i.e. no usable signal — only this exact f32 program reproducibly
+    # compiles fast.  Kept out of the default bench for reliability.
     segment = run(512)
     try:
         fused = run(512, pallas_pack=True)

@@ -55,8 +55,80 @@ def load_library() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    if hasattr(lib, "glam_pack_batch"):
+        FP = ctypes.POINTER(ctypes.c_float)
+        IP = ctypes.POINTER(ctypes.c_int32)
+        lib.glam_pack_batch.restype = ctypes.c_int
+        lib.glam_pack_batch.argtypes = [
+            ctypes.POINTER(FP), ctypes.POINTER(FP),
+            ctypes.POINTER(IP), ctypes.POINTER(IP),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
     _lib = lib
     return lib
+
+
+def pack_batch_native(graphs, num_nodes: int, num_edges: int, G: int,
+                      fn: int, fe: int):
+    """Native batch packing (C++ glam_pack_batch): the data-loader hot
+    loop of ``pad_graphs``.  Returns (nodes, edges, senders, receivers,
+    node_graph, node_pos, node_mask, edge_mask) with the framework's
+    padding convention, byte-exact vs the Python path
+    (tests/test_native.py).  Returns None when the library lacks the
+    symbol (old build) so callers fall back."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "glam_pack_batch"):
+        return None
+    n = len(graphs)
+    FP = ctypes.POINTER(ctypes.c_float)
+    IP = ctypes.POINTER(ctypes.c_int32)
+    nodes_p = (FP * n)()
+    edges_p = (FP * n)()
+    snd_p = (IP * n)()
+    rcv_p = (IP * n)()
+    n_cnt = np.empty(n, np.int64)
+    e_cnt = np.empty(n, np.int64)
+    keep = []  # hold contiguous views alive through the call
+    for i, g in enumerate(graphs):
+        gn = np.ascontiguousarray(g.nodes, np.float32)
+        ge = np.ascontiguousarray(g.edges, np.float32)
+        gs = np.ascontiguousarray(g.senders, np.int32)
+        gr = np.ascontiguousarray(g.receivers, np.int32)
+        keep.append((gn, ge, gs, gr))
+        nodes_p[i] = gn.ctypes.data_as(FP)
+        edges_p[i] = ge.ctypes.data_as(FP)
+        snd_p[i] = gs.ctypes.data_as(IP)
+        rcv_p[i] = gr.ctypes.data_as(IP)
+        n_cnt[i] = gn.shape[0]
+        e_cnt[i] = gs.shape[0]
+    nodes = np.empty((num_nodes, fn), np.float32)
+    edges = np.empty((num_edges, fe), np.float32)
+    senders = np.empty(num_edges, np.int32)
+    receivers = np.empty(num_edges, np.int32)
+    node_graph = np.empty(num_nodes, np.int32)
+    node_pos = np.empty(num_nodes, np.int32)
+    node_mask = np.empty(num_nodes, np.uint8)
+    edge_mask = np.empty(num_edges, np.uint8)
+    rc = lib.glam_pack_batch(nodes_p, edges_p, snd_p, rcv_p, n_cnt,
+                             e_cnt, n, fn, fe, num_nodes, num_edges, G,
+                             nodes, edges, senders, receivers,
+                             node_graph, node_pos, node_mask, edge_mask)
+    if rc != 0:
+        raise ValueError(
+            f"batch over budget ({int(n_cnt.sum())} nodes, "
+            f"{int(e_cnt.sum())} edges) > ({num_nodes}, {num_edges})")
+    return (nodes, edges, senders, receivers, node_graph, node_pos,
+            node_mask.astype(bool), edge_mask.astype(bool))
 
 
 def available() -> bool:

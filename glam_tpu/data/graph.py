@@ -158,38 +158,50 @@ def pad_graphs(
     nt = num_tasks if num_tasks is not None else graphs[0].y.shape[-1]
     G = num_graphs + 1
 
-    nodes = np.zeros((num_nodes, fn), np.float32)
-    edges = np.zeros((num_edges, fe), np.float32)
-    senders = np.full((num_edges,), num_nodes - 1, np.int32)
-    receivers = np.full((num_edges,), num_nodes - 1, np.int32)
-    node_graph = np.full((num_nodes,), G - 1, np.int32)
-    node_pos = np.zeros((num_nodes,), np.int32)
+    from ..chem import native as _native
+    packed = (_native.pack_batch_native(graphs, num_nodes, num_edges, G,
+                                        fn, fe)
+              if graphs and _native.available() else None)
+    if packed is not None:
+        # C++ hot path (native/csrc/glam_native.cpp glam_pack_batch),
+        # byte-exact vs the Python loop below (tests/test_native.py)
+        (nodes, edges, senders, receivers, node_graph, node_pos,
+         node_mask, edge_mask) = packed
+        n_off = int(sum(g.nodes.shape[0] for g in graphs))
+        e_off = int(sum(g.senders.shape[0] for g in graphs))
+    else:
+        nodes = np.zeros((num_nodes, fn), np.float32)
+        edges = np.zeros((num_edges, fe), np.float32)
+        senders = np.full((num_edges,), num_nodes - 1, np.int32)
+        receivers = np.full((num_edges,), num_nodes - 1, np.int32)
+        node_graph = np.full((num_nodes,), G - 1, np.int32)
+        node_pos = np.zeros((num_nodes,), np.int32)
+        n_off = 0
+        e_off = 0
+        for gi, g in enumerate(graphs):
+            n, e = g.nodes.shape[0], g.senders.shape[0]
+            nodes[n_off:n_off + n] = g.nodes
+            if e:
+                edges[e_off:e_off + e] = g.edges
+                senders[e_off:e_off + e] = g.senders + n_off
+                receivers[e_off:e_off + e] = g.receivers + n_off
+            node_graph[n_off:n_off + n] = gi
+            node_pos[n_off:n_off + n] = np.arange(n, dtype=np.int32)
+            n_off += n
+            e_off += e
+        # padding nodes belong to the padding graph; positions restart
+        node_pos[n_off:] = np.arange(num_nodes - n_off, dtype=np.int32)
+        node_mask = np.zeros((num_nodes,), bool)
+        node_mask[:n_off] = True
+        edge_mask = np.zeros((num_edges,), bool)
+        edge_mask[:e_off] = True
+
     n_node = np.zeros((G,), np.int32)
     y = np.full((G, nt), -1.0, np.float32)
-
-    n_off = 0
-    e_off = 0
     for gi, g in enumerate(graphs):
-        n, e = g.nodes.shape[0], g.senders.shape[0]
-        nodes[n_off:n_off + n] = g.nodes
-        if e:
-            edges[e_off:e_off + e] = g.edges
-            senders[e_off:e_off + e] = g.senders + n_off
-            receivers[e_off:e_off + e] = g.receivers + n_off
-        node_graph[n_off:n_off + n] = gi
-        node_pos[n_off:n_off + n] = np.arange(n, dtype=np.int32)
-        n_node[gi] = n
+        n_node[gi] = g.nodes.shape[0]
         y[gi] = np.asarray(g.y, np.float32).reshape(-1)[:nt]
-        n_off += n
-        e_off += e
-    # padding nodes belong to the padding graph; give them positions too
     n_node[G - 1] = num_nodes - n_off
-    node_pos[n_off:] = np.arange(num_nodes - n_off, dtype=np.int32)
-
-    node_mask = np.zeros((num_nodes,), bool)
-    node_mask[:n_off] = True
-    edge_mask = np.zeros((num_edges,), bool)
-    edge_mask[:e_off] = True
     graph_mask = np.zeros((G,), bool)
     graph_mask[:g_real] = True
 

@@ -606,12 +606,19 @@ class Trainer:
             if loader is None:
                 continue
             graphs = getattr(loader, "graphs", None)
-            if graphs is None:
+            if graphs is not None:
+                pd.DataFrame({
+                    "smiles": [g.smi for g in graphs],
+                    "label": [float(g.y.reshape(-1)[0]) for g in graphs],
+                }).to_csv(out / f"{name}.csv", index=False)
                 continue
-            pd.DataFrame({
-                "smiles": [g.smi for g in graphs],
-                "label": [float(g.y.reshape(-1)[0]) for g in graphs],
-            }).to_csv(out / f"{name}.csv", index=False)
+            pairs = getattr(loader, "pairs", None)
+            if pairs is not None:  # DTI exporter (trainer.py:128-143)
+                pd.DataFrame({
+                    "smiles": [p[0].smi for p in pairs],
+                    "partner": [p[1].smi for p in pairs],
+                    "label": [float(p[0].y.reshape(-1)[0]) for p in pairs],
+                }).to_csv(out / f"{name}.csv", index=False)
 
     # ------------------------------------------------------------------
     def pasp(self):

@@ -617,4 +617,63 @@ int glam_build_ell(const int32_t* senders, const int32_t* receivers,
   return 0;
 }
 
+// Batch packer: the data-loader hot path (glam_tpu/data/graph.py
+// pad_graphs core).  Packs n_graphs graphs (given as per-graph array
+// pointers, zero-copy from numpy) into the padded static-shape batch
+// buffers with the framework's padding convention: padded edges point
+// at the last (padding) node, padding nodes belong to the last graph
+// slot (id G-1), padding node positions restart at 0.  The Python
+// implementation remains the byte-exact oracle (tests/test_native.py).
+int glam_pack_batch(const float** nodes_list, const float** edges_list,
+                    const int32_t** snd_list, const int32_t** rcv_list,
+                    const int64_t* n_counts, const int64_t* e_counts,
+                    int n_graphs, int fn, int fe, int num_nodes,
+                    int num_edges, int G, float* nodes, float* edges,
+                    int32_t* senders, int32_t* receivers,
+                    int32_t* node_graph, int32_t* node_pos,
+                    uint8_t* node_mask, uint8_t* edge_mask) {
+  int64_t tot_n = 0, tot_e = 0;
+  for (int g = 0; g < n_graphs; g++) {
+    tot_n += n_counts[g];
+    tot_e += e_counts[g];
+  }
+  if (tot_n > num_nodes || tot_e > num_edges || n_graphs > G - 1)
+    return -2;  // over budget (caller raises like the Python path)
+  std::memset(nodes, 0, sizeof(float) * num_nodes * fn);
+  std::memset(edges, 0, sizeof(float) * num_edges * fe);
+  for (int k = 0; k < num_edges; k++) {
+    senders[k] = num_nodes - 1;
+    receivers[k] = num_nodes - 1;
+  }
+  std::memset(node_mask, 0, num_nodes);
+  std::memset(edge_mask, 0, num_edges);
+  int64_t n_off = 0, e_off = 0;
+  for (int g = 0; g < n_graphs; g++) {
+    const int64_t n = n_counts[g], e = e_counts[g];
+    std::memcpy(nodes + n_off * fn, nodes_list[g],
+                sizeof(float) * n * fn);
+    if (e > 0) {
+      std::memcpy(edges + e_off * fe, edges_list[g],
+                  sizeof(float) * e * fe);
+      for (int64_t k = 0; k < e; k++) {
+        senders[e_off + k] = snd_list[g][k] + (int32_t)n_off;
+        receivers[e_off + k] = rcv_list[g][k] + (int32_t)n_off;
+      }
+    }
+    for (int64_t k = 0; k < n; k++) {
+      node_graph[n_off + k] = g;
+      node_pos[n_off + k] = (int32_t)k;
+      node_mask[n_off + k] = 1;
+    }
+    for (int64_t k = 0; k < e; k++) edge_mask[e_off + k] = 1;
+    n_off += n;
+    e_off += e;
+  }
+  for (int64_t k = n_off; k < num_nodes; k++) {
+    node_graph[k] = G - 1;
+    node_pos[k] = (int32_t)(k - n_off);
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -69,3 +69,33 @@ class TestNativeEll:
         rcv = np.zeros(5, np.int32)
         with pytest.raises(ValueError):
             native.build_ell_native(snd, rcv, 3, 4)
+
+
+class TestNativePackBatch:
+    def test_byte_exact_vs_python(self):
+        """glam_pack_batch output must equal the Python pad_graphs loop
+        field-for-field (the Python path is the oracle)."""
+        import glam_tpu.chem.native as nat
+        from glam_tpu.data.graph import pad_graphs
+        from conftest import SMILES_SET, graphs_from_smiles
+        graphs = graphs_from_smiles(SMILES_SET)
+        b_nat = pad_graphs(graphs, 6, 96, 160, 1)
+        avail = nat.available
+        nat.available = lambda: False
+        try:
+            b_py = pad_graphs(graphs, 6, 96, 160, 1)
+        finally:
+            nat.available = avail
+        for f in b_py._fields:
+            a, b = getattr(b_py, f), getattr(b_nat, f)
+            if a is None:
+                assert b is None, f
+                continue
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f
+
+    def test_over_budget_raises(self):
+        from glam_tpu.data.graph import pad_graphs
+        from conftest import SMILES_SET, graphs_from_smiles
+        graphs = graphs_from_smiles(SMILES_SET)
+        with pytest.raises(ValueError):
+            pad_graphs(graphs, 6, 16, 16, 1)
