@@ -104,6 +104,36 @@ def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
     return jax.tree_util.tree_map(jnp.asarray, out)
 
 
+def insert_params(arch_params: Dict, sharded: Dict,
+                  conv: str = "_TripletMessage",
+                  readout: str = "GlobalLAPool") -> Dict:
+    """Inverse of :func:`extract_params`: write sharded-trained arrays
+    back into an Architecture param tree (train sharded on the mesh,
+    then serve/fine-tune single-device with the same checkpoint)."""
+    import copy
+    out = copy.deepcopy(jax.tree_util.tree_map(jnp.asarray, arch_params))
+    mol = out["mol"]
+    kind = conv.strip().lstrip("_")
+    mol["lin0"]["linear"]["kernel"] = sharded["lin0"]["kernel"]
+    mol["lin0"]["linear"]["bias"] = sharded["lin0"]["bias"]
+    mol["conv"][f"{kind}_0"].update(sharded["conv"])
+    if "gru" in sharded:
+        mol["conv"]["gru"].update(sharded["gru"])
+    if readout == "GlobalLAPool":
+        mol["readout"]["gate_nn"]["kernel"] = sharded["gate"]["kernel"]
+        mol["readout"]["gate_nn"]["bias"] = sharded["gate"]["bias"]
+        mol["readout"]["nn"]["kernel"] = sharded["val"]["kernel"]
+        mol["readout"]["nn"]["bias"] = sharded["val"]["bias"]
+    elif readout == "Set2Set":
+        for k, v in sharded["lstm"].items():
+            mol["readout"][f"lstm_{k}"] = v
+    mol["flat"]["linear"]["kernel"] = sharded["flat"]["kernel"]
+    mol["flat"]["linear"]["bias"] = sharded["flat"]["bias"]
+    out["lin_out1"]["linear"]["kernel"] = sharded["out"]["kernel"]
+    out["lin_out1"]["linear"]["bias"] = sharded["out"]["bias"]
+    return out
+
+
 def _halo_table(z_local, send_idx, axis):
     """Boundary-only exchange of any per-node array: ship the rows
     neighbor shards reference (one all_to_all over ICI) and append them

@@ -108,6 +108,28 @@ def test_sharded_gradients_match_single_device(conv, readout):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_sharded_train_then_single_device_serve():
+    """Round-trip: train sharded, insert_params back, and the
+    single-device Architecture reproduces the sharded prediction."""
+    from glam_tpu.parallel.sharded_model import insert_params
+    giant = _giant_graph(seed=3)
+    model, batch, variables = _single_device("_TripletMessage",
+                                             "GlobalLAPool", giant)
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    step = make_sharded_train_step(mesh, message_steps=3, lr=1e-2)
+    fwd = make_sharded_forward(mesh, message_steps=3)
+    params = extract_params(variables["params"])
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+    for _ in range(3):
+        params, _ = step(params, inputs, jnp.asarray([0.4]))
+    sharded_pred = float(np.asarray(fwd(params, *inputs))[0])
+    merged = insert_params(variables["params"], params)
+    single_pred = float(np.asarray(
+        model.apply({"params": merged}, batch, True))[0, 0])
+    assert abs(single_pred - sharded_pred) < 1e-4 + 1e-4 * abs(
+        sharded_pred)
+
+
 def test_sharded_train_step_learns():
     giant = _giant_graph(seed=2)
     _, _, variables = _single_device("_TripletMessage", "GlobalLAPool",
