@@ -110,8 +110,9 @@ def insert_params(arch_params: Dict, sharded: Dict,
     """Inverse of :func:`extract_params`: write sharded-trained arrays
     back into an Architecture param tree (train sharded on the mesh,
     then serve/fine-tune single-device with the same checkpoint)."""
-    import copy
-    out = copy.deepcopy(jax.tree_util.tree_map(jnp.asarray, arch_params))
+    # tree_map rebuilds every container, so mutating `out` below never
+    # touches the caller's tree
+    out = jax.tree_util.tree_map(jnp.asarray, arch_params)
     mol = out["mol"]
     kind = conv.strip().lstrip("_")
     mol["lin0"]["linear"]["kernel"] = sharded["lin0"]["kernel"]
