@@ -110,7 +110,11 @@ def select_top_runs(logs_dir: Path, dataset: str, n: int) -> pd.DataFrame:
     df = pd.DataFrame(logs)
     metric = auto_metrics(dataset)[0]
     if metric not in df.columns:
-        return pd.DataFrame()
+        # e.g. multiclass DDI logs carry no valauc; rank by accuracy
+        if "valacc" in df.columns:
+            metric = "valacc"
+        else:
+            return pd.DataFrame()
     n = min(n, len(df))
     sel = df.sort_values(metric, ascending=False).iloc[:n]
     sel.to_csv(Path(logs_dir) / "inf_ckpt_selected.csv")
