@@ -138,3 +138,6 @@ class TestDPPair:
                          print_log=False, work_dir=str(tmp_path))
         loss = tr.train_iterations(__import__("jax").random.PRNGKey(0))
         assert np.isfinite(loss)
+        # DP eval through the pair metric head (merges the device axis)
+        val_loss, result = tr.valid_iterations()
+        assert np.isfinite(val_loss) and "acc" in result

@@ -130,6 +130,58 @@ def test_sharded_train_then_single_device_serve():
         sharded_pred)
 
 
+def test_protein_scale_contact_graph():
+    """The actual scale motivation (reference src_2gi_dti_scr
+    utils.py:283-293): an L~900-residue contact-map-like graph — 49-dim
+    nodes, backbone chain + long-range contacts — trains sharded with
+    a GCN tower and matches the single-device forward."""
+    rng = np.random.RandomState(4)
+    L = 900
+    nodes = rng.randn(L, 49).astype(np.float32)
+    bb = np.arange(L - 1)
+    snd = np.concatenate([bb, bb + 1])
+    rcv = np.concatenate([bb + 1, bb])
+    n_contacts = 4000
+    ci = rng.randint(0, L, n_contacts)
+    cj = np.clip(ci + rng.randint(-60, 61, n_contacts), 0, L - 1)
+    snd = np.concatenate([snd, ci, cj]).astype(np.int32)
+    rcv = np.concatenate([rcv, cj, ci]).astype(np.int32)
+    edges = rng.randn(len(snd), 8).astype(np.float32)
+
+    cfg = ModelConfig(mol_block="_GCNConv", mol_readout="GlobalLAPool",
+                      mol_in_dim=49, mol_edge_in_dim=8,
+                      message_steps=2, e_dim=32, max_nodes=L + 8,
+                      hid_dim_alpha=1,
+                      pre_norm="_None", graph_norm="_None",
+                      flat_norm="_None", end_norm="_None",
+                      pre_do="_None()", graph_do="_None()",
+                      flat_do="_None()", end_do="_None()",
+                      pre_act="CELU", graph_act="CELU", flat_act="CELU")
+    model = Architecture(cfg)
+    g = GraphArrays(nodes=nodes, edges=edges, senders=snd,
+                    receivers=rcv, y=np.zeros(1, np.float32))
+    batch = next(iter(GraphLoader([g], 1, 1)))
+    variables = model.init(jax.random.PRNGKey(0), batch, True)
+    want = np.asarray(model.apply(variables, batch, True))[0]
+
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_forward(mesh, message_steps=2, conv="_GCNConv")
+    params = extract_params(variables["params"], "_GCNConv")
+    inputs = tuple(jnp.asarray(a) for a in
+                   shard_inputs(nodes, edges, snd, rcv, D))
+    got = np.asarray(fwd(params, *inputs))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    # halo budget sanity: contacts span +-60 residues, so the per-pair
+    # boundary is far below the shard size (v2's O(H) win)
+    send_idx = inputs[6]
+    assert send_idx.shape[-1] < inputs[0].shape[1]  # H < Nl
+    step = make_sharded_train_step(mesh, message_steps=2, lr=1e-2,
+                                   conv="_GCNConv")
+    params, l0 = step(params, inputs, jnp.asarray([0.2]))
+    params, l1 = step(params, inputs, jnp.asarray([0.2]))
+    assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+
 def test_sharded_train_step_learns():
     giant = _giant_graph(seed=2)
     _, _, variables = _single_device("_TripletMessage", "GlobalLAPool",
