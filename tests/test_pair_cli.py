@@ -178,6 +178,36 @@ class TestDTIRunCLI:
         assert last.count("|") == 2  # parseable final triple
 
 
+@pytest.fixture(scope="module")
+def litpcba_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("litpcba_cli")
+    base = root / "raw" / "lit_pcba" / "ALDH1"
+    base.mkdir(parents=True)
+    rng = np.random.RandomState(2)
+    smis = ["CCO", "CCC", "c1ccccc1", "CCN", "CCOC", "CC(C)C"]
+    (base / "actives.smi").write_text("\n".join(
+        f"{rng.choice(smis)} a{i}" for i in range(16)))
+    (base / "inactives.smi").write_text("\n".join(
+        f"{rng.choice(smis)} i{i}" for i in range(24)))
+    (base / "ALDH1.seq").write_text("ACDEFGHIKLMNPQRSTVWY")
+    return root
+
+
+class TestScreeningRunCLI:
+    def test_litpcba_end_to_end(self, litpcba_root, tmp_path):
+        from glam_tpu.run import main
+        t = main(["--dataset", "ALDH1", "--dataset_root",
+                  str(litpcba_root), "--epochs", "1", "--batch_size",
+                  "8", "--e_dim", "16", "--hid_dim_alpha", "2",
+                  "--message_steps", "1", "--work_dir", str(tmp_path)])
+        assert t.task == "pair_screening"
+        assert t.args["loss"] == "wce"  # default remap for screening
+        assert t.class_weights is not None
+        log = tmp_path / "log_ALDH1" / t.run_id / "log.txt"
+        last = log.read_text().strip().splitlines()[-1]
+        assert "bedroc" in last and "ef" in last  # screening metrics
+
+
 class TestDDISolverE2E:
     def test_search_refine_blend(self, ddi_root, tmp_path):
         """The complete pair-task AutoML loop — random search
