@@ -21,10 +21,11 @@ dense contact neighborhoods (reference src_2gi_dti_scr/utils.py:283-293);
 partitioning the node axis over a slice bounds per-chip memory while the
 halo traffic stays proportional to the contact boundary.
 
-Supported config subset (deterministic giant-graph regime): norms
-'_None', dropouts '_None()', acts in {CELU, ReLU, LeakyReLU, _None},
-optional residual, GRU state for TripletMessage (disabled for GCN, as in
-MessageBlock — reference layer.py:248).
+Supported config subset (deterministic giant-graph regime):
+graph_norm in {'_None', '_PairNorm' (global psum statistics — one giant
+graph IS one PairNorm group)}, dropouts '_None()', acts in {CELU, ReLU,
+LeakyReLU, _None}, optional residual, GRU state for TripletMessage
+(disabled for GCN, as in MessageBlock — reference layer.py:248).
 """
 from __future__ import annotations
 
@@ -152,6 +153,7 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
                          readout: str = "GlobalLAPool",
                          graph_act: str = "CELU", pre_act: str = "CELU",
                          flat_act: str = "CELU", residual: bool = True,
+                         graph_norm: str = "_None",
                          sort_k: int = 3, axis: str = "graph"):
     """Differentiable sharded forward over one giant graph.
 
@@ -166,12 +168,28 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     act_pre = ACTS[pre_act.strip()]
     act_flat = ACTS[flat_act.strip()]
     use_gru = conv.strip() == "_TripletMessage"
+    if graph_norm.strip() not in ("_None", "_PairNorm"):
+        raise ValueError(
+            f"sharded path: unsupported graph_norm {graph_norm!r}")
+    use_pairnorm = graph_norm.strip() == "_PairNorm"
 
-    def triplet_step(p, x_local, h_prev, edges_l, snd_l, rcv_l, emask,
-                     nmask, send_idx):
+    def pairnorm(x, nmask):
+        """PyG PairNorm(scale=1) over the ONE giant graph: the per-graph
+        center/scale become global psum statistics across shards."""
+        m = nmask[:, None].astype(x.dtype)
+        cnt = jnp.maximum(jax.lax.psum(jnp.sum(m), axis), 1.0)
+        mean = jax.lax.psum(jnp.sum(x * m, axis=0), axis) / cnt
+        xc = (x - mean) * m[:, 0][:, None]
+        ms = jax.lax.psum(jnp.sum(xc * xc), axis) / cnt
+        return xc / jnp.sqrt(1e-5 + ms)
+
+    def triplet_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l,
+                     emask, nmask, send_idx):
+        # x_in = norm(x_local) feeds the conv; the residual adds the
+        # PRE-norm x_local (MessageBlock semantics, nn/blocks.py)
         C = x_local.shape[-1]
         H = heads
-        xp = x_local @ p["conv"]["weight_node"]          # [Nl, H*C]
+        xp = x_in @ p["conv"]["weight_node"]             # [Nl, H*C]
         watt = p["conv"]["weight_triplet_att"]           # [H, 3C]
         xh = xp.reshape(-1, H, C)
         eh = (edges_l @ p["conv"]["weight_edge"]).reshape(-1, H, C)
@@ -204,9 +222,9 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         y = act_g(y)
         return y * nmask[:, None], h_new
 
-    def gcn_step(p, x_local, h_prev, edges_l, snd_l, rcv_l, emask, nmask,
-                 send_idx, enorm, self_norm):
-        xp = x_local @ p["conv"]["weight"]
+    def gcn_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l, emask,
+                 nmask, send_idx, enorm, self_norm):
+        xp = x_in @ p["conv"]["weight"]
         xp_t = _halo_table(xp, send_idx, axis)
         Nl = x_local.shape[0]
         w = jnp.where(emask, enorm, 0.0)
@@ -284,12 +302,14 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         x = x * nmask[:, None]
         h = x
         for _ in range(message_steps):
+            x_in = pairnorm(x, nmask) if use_pairnorm else x
             if use_gru:
-                x, h = triplet_step(params, x, h, edges_l, snd_l, rcv_l,
-                                    emask, nmask, send_idx)
+                x, h = triplet_step(params, x, x_in, h, edges_l, snd_l,
+                                    rcv_l, emask, nmask, send_idx)
             else:
-                x, h = gcn_step(params, x, h, edges_l, snd_l, rcv_l,
-                                emask, nmask, send_idx, enorm, self_norm)
+                x, h = gcn_step(params, x, x_in, h, edges_l, snd_l,
+                                rcv_l, emask, nmask, send_idx, enorm,
+                                self_norm)
         return pool(params, x, nmask)  # replicated (psum'd) vector
 
     # check_vma=False: the sort-pool path derives its (genuinely

@@ -30,19 +30,19 @@ def _giant_graph(seed=0, N=120, E=360):
     return nodes, edges, senders, receivers
 
 
-def _cfg(conv, readout, N):
+def _cfg(conv, readout, N, graph_norm="_None"):
     return ModelConfig(mol_block=conv, mol_readout=readout,
                        message_steps=3, e_dim=64, max_nodes=N + 8,
-                       pre_norm="_None", graph_norm="_None",
+                       pre_norm="_None", graph_norm=graph_norm,
                        flat_norm="_None", end_norm="_None",
                        pre_do="_None()", graph_do="_None()",
                        flat_do="_None()", end_do="_None()",
                        pre_act="CELU", graph_act="CELU", flat_act="CELU")
 
 
-def _single_device(conv, readout, giant):
+def _single_device(conv, readout, giant, graph_norm="_None"):
     nodes, edges, senders, receivers = giant
-    model = Architecture(_cfg(conv, readout, nodes.shape[0]))
+    model = Architecture(_cfg(conv, readout, nodes.shape[0], graph_norm))
     g = GraphArrays(nodes=nodes, edges=edges, senders=senders,
                     receivers=receivers, y=np.zeros(1, np.float32))
     batch = next(iter(GraphLoader([g], 1, 1)))
@@ -106,6 +106,22 @@ def test_sharded_gradients_match_single_device(conv, readout):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_pairnorm_sharded_matches_single_device():
+    """graph_norm=_PairNorm: the per-graph statistics become global
+    psum statistics on a giant graph; forward parity holds."""
+    giant = _giant_graph(seed=5)
+    model, batch, variables = _single_device(
+        "_TripletMessage", "GlobalLAPool", giant, graph_norm="_PairNorm")
+    want = np.asarray(model.apply(variables, batch, True))[0]
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_forward(mesh, message_steps=3,
+                               graph_norm="_PairNorm")
+    params = extract_params(variables["params"])
+    got = np.asarray(fwd(params, *[jnp.asarray(a) for a in
+                                   shard_inputs(*giant, D)]))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
 def test_sharded_train_then_single_device_serve():
