@@ -1,10 +1,11 @@
 """Full-model training/inference over ONE giant graph sharded on a mesh.
 
 Round-2 generalization (VERDICT items 3/8): the sharded path now
-  * supports the conv family used for giant graphs — ``_TripletMessage``
-    (flagship) and ``_GCNConv`` (the reference's default protein tower,
-    src_2gi_dti_scr/run.py:19) — and all three readouts (GlobalLAPool,
-    GlobalPool5 incl. cross-shard sort-pool, Set2Set);
+  * supports the FULL conv family of the search space — ``_TripletMessage``
+    (flagship), ``_TripletMessageLight``, ``_NNConv``, ``_GCNConv`` (the
+    reference's default protein tower, src_2gi_dti_scr/run.py:19) and
+    ``_GATConv`` — and all three readouts (GlobalLAPool, GlobalPool5
+    incl. cross-shard sort-pool, Set2Set);
   * uses the boundary-only (v2) halo exchange: each message step ships
     just the projected features neighbor shards reference (host-planned
     ``send_idx``) with one ``all_to_all`` over ICI — O(D*H*C) bytes
@@ -24,8 +25,9 @@ halo traffic stays proportional to the contact boundary.
 Supported config subset (deterministic giant-graph regime):
 graph_norm in {'_None', '_PairNorm' (global psum statistics — one giant
 graph IS one PairNorm group)}, dropouts '_None()', acts in {CELU, ReLU,
-LeakyReLU, _None}, optional residual, GRU state for TripletMessage
-(disabled for GCN, as in MessageBlock — reference layer.py:248).
+LeakyReLU, RReLU (eval slope), _None}, optional residual, GRU state for
+TripletMessage/TripletMessageLight/NNConv (disabled for GCN/GAT, as in
+MessageBlock — reference layer.py:248).
 """
 from __future__ import annotations
 
@@ -39,10 +41,16 @@ from jax.sharding import PartitionSpec as P
 
 from .graph_partition import build_halo_exchange, split_large_graph
 
+from ..nn.activations import RRELU_LOWER, RRELU_UPPER
+from ..nn.convs import NO_GRU_CONVS
+
 ACTS = {
     "CELU": lambda x: jnp.where(x >= 0, x, jnp.expm1(x)),
     "ReLU": lambda x: jnp.maximum(x, 0.0),
     "LeakyReLU": lambda x: jnp.where(x >= 0, x, 0.01 * x),
+    # deterministic (eval-mode) RReLU: mean slope, activations.py parity
+    "RReLU": lambda x: jnp.where(
+        x >= 0, x, x * ((RRELU_LOWER + RRELU_UPPER) / 2.0)),
     "_None": lambda x: x,
 }
 
@@ -81,16 +89,31 @@ def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
         "out": {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
                 "bias": arch_params["lin_out1"]["linear"]["bias"]},
     }
-    if conv.strip() == "_TripletMessage":
+    key = conv.strip()
+    if key == "_TripletMessage":
         out["conv"] = {k: convp[k] for k in
                        ("weight_node", "weight_edge",
                         "weight_triplet_att", "weight_scale", "bias")}
-        out["gru"] = {k: mol["conv"]["gru"][k]
-                      for k in ("w_ih", "w_hh", "b_ih", "b_hh")}
-    elif conv.strip() == "_GCNConv":
+    elif key == "_TripletMessageLight":
+        out["conv"] = {k: convp[k] for k in
+                       ("weight_node", "weight_triplet_att", "bias")}
+    elif key == "_NNConv":
+        out["conv"] = {
+            "edge_mlp_0": {"kernel": convp["edge_mlp_0"]["kernel"],
+                           "bias": convp["edge_mlp_0"]["bias"]},
+            "edge_mlp_1": {"kernel": convp["edge_mlp_1"]["kernel"],
+                           "bias": convp["edge_mlp_1"]["bias"]},
+            "root": convp["root"], "bias": convp["bias"]}
+    elif key == "_GCNConv":
         out["conv"] = {"weight": convp["weight"], "bias": convp["bias"]}
+    elif key == "_GATConv":
+        out["conv"] = {k: convp[k] for k in
+                       ("weight", "att_src", "att_dst", "bias")}
     else:
         raise ValueError(f"sharded path: unsupported conv {conv!r}")
+    if key not in NO_GRU_CONVS:  # MessageBlock.has_gru (layer.py:248)
+        out["gru"] = {k: mol["conv"]["gru"][k]
+                      for k in ("w_ih", "w_hh", "b_ih", "b_hh")}
     # GlobalPool5 has no parameters, so flax omits the module entirely
     ro = mol.get("readout", {})
     if readout == "GlobalLAPool":
@@ -167,7 +190,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     act_g = ACTS[graph_act.strip()]
     act_pre = ACTS[pre_act.strip()]
     act_flat = ACTS[flat_act.strip()]
-    use_gru = conv.strip() == "_TripletMessage"
+    conv_key = conv.strip()
+    use_gru = conv_key not in NO_GRU_CONVS
     if graph_norm.strip() not in ("_None", "_PairNorm"):
         raise ValueError(
             f"sharded path: unsupported graph_norm {graph_norm!r}")
@@ -183,8 +207,31 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         ms = jax.lax.psum(jnp.sum(xc * xc), axis) / cnt
         return xc / jnp.sqrt(1e-5 + ms)
 
+    def _masked_seg_softmax(logits, rcv_l, emask, Nl):
+        """segment_softmax over real local edges (1e-16 PyG epsilon)."""
+        mask = emask if logits.ndim == 1 else emask[:, None]
+        neg = jnp.where(mask, logits, -jnp.inf)
+        seg_max = jax.ops.segment_max(neg, rcv_l, num_segments=Nl)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        ex = jnp.where(mask, jnp.exp(logits - seg_max[rcv_l]), 0.0)
+        denom = jax.ops.segment_sum(ex, rcv_l, num_segments=Nl)
+        return ex / (denom[rcv_l] + 1e-16)
+
+    def _finish(p, y, x_local, h_prev, nmask):
+        """MessageBlock tail (nn/blocks.py): [celu -> GRU] -> residual
+        -> act; the residual adds the PRE-norm x_local."""
+        if use_gru:
+            y = ACTS["CELU"](y)
+            y = _gru(p["gru"], y, h_prev)
+            h_new = y
+        else:
+            h_new = h_prev
+        if residual:
+            y = y + x_local
+        return act_g(y) * nmask[:, None], h_new
+
     def triplet_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l,
-                     emask, nmask, send_idx):
+                     emask, nmask, send_idx, enorm, self_norm):
         # x_in = norm(x_local) feeds the conv; the residual adds the
         # PRE-norm x_local (MessageBlock semantics, nn/blocks.py)
         C = x_local.shape[-1]
@@ -201,26 +248,87 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         a_j_t = _halo_table(a_j, send_idx, axis)
         logits = a_i[rcv_l] + a_e + a_j_t[snd_l]         # [El, H]
         logits = jnp.where(logits >= 0, logits, 0.2 * logits)
-        logits = jnp.where(emask[:, None], logits, -jnp.inf)
         Nl = x_local.shape[0]
-        seg_max = jax.ops.segment_max(logits, rcv_l, num_segments=Nl)
-        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-        ex = jnp.where(emask[:, None], jnp.exp(logits - seg_max[rcv_l]),
-                       0.0)
-        denom = jax.ops.segment_sum(ex, rcv_l, num_segments=Nl)
-        alpha = ex / (denom[rcv_l] + 1e-16)
+        alpha = _masked_seg_softmax(logits, rcv_l, emask, Nl)
         msg = alpha[:, :, None] * eh * xh_t[snd_l]       # [El, H, C]
         aggr = jax.ops.segment_sum(msg.reshape(-1, H * C), rcv_l,
                                    num_segments=Nl)
         y = aggr @ p["conv"]["weight_scale"] + p["conv"]["bias"]
-        # MessageBlock: celu -> GRU -> residual -> act
-        y = ACTS["CELU"](y)
-        y = _gru(p["gru"], y, h_prev)
-        h_new = y
-        if residual:
-            y = y + x_local
-        y = act_g(y)
-        return y * nmask[:, None], h_new
+        return _finish(p, y, x_local, h_prev, nmask)
+
+    def triplet_light_step(p, x_local, x_in, h_prev, edges_l, snd_l,
+                           rcv_l, emask, nmask, send_idx, enorm,
+                           self_norm):
+        """Single-head TripletMessageLight (nn/convs.py:130): attention
+        over [x_i, e_raw, x_j], message α·x'_j, bias-only update."""
+        C = x_local.shape[-1]
+        xp = x_in @ p["conv"]["weight_node"]             # [Nl, C]
+        watt = p["conv"]["weight_triplet_att"]           # [2C + Fe]
+        Fe = watt.shape[0] - 2 * C
+        a_i = xp @ watt[:C]
+        a_e = edges_l @ watt[C:C + Fe]
+        a_j = xp @ watt[C + Fe:]
+        xp_t = _halo_table(xp, send_idx, axis)
+        a_j_t = _halo_table(a_j, send_idx, axis)
+        logits = a_i[rcv_l] + a_e + a_j_t[snd_l]         # [El]
+        logits = jnp.where(logits >= 0, logits, 0.2 * logits)
+        Nl = x_local.shape[0]
+        alpha = _masked_seg_softmax(logits, rcv_l, emask, Nl)
+        aggr = jax.ops.segment_sum(alpha[:, None] * xp_t[snd_l], rcv_l,
+                                   num_segments=Nl)
+        return _finish(p, aggr + p["conv"]["bias"], x_local, h_prev,
+                       nmask)
+
+    def nnconv_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l,
+                    emask, nmask, send_idx, enorm, self_norm):
+        """PyG NNConv (nn/convs.py:169): per-edge weight matrix from the
+        edge MLP, message x'_s @ W(e), aggr='mean', root + bias."""
+        C = x_local.shape[-1]
+        mlp = p["conv"]
+        h1 = jnp.maximum(edges_l @ mlp["edge_mlp_0"]["kernel"]
+                         + mlp["edge_mlp_0"]["bias"], 0.0)
+        wmat = (h1 @ mlp["edge_mlp_1"]["kernel"]
+                + mlp["edge_mlp_1"]["bias"]).reshape(-1, C, C)
+        x_t = _halo_table(x_in, send_idx, axis)
+        msg = jnp.einsum("ec,eco->eo", x_t[snd_l], wmat)  # [El, C]
+        msg = jnp.where(emask[:, None], msg, 0.0)
+        Nl = x_local.shape[0]
+        tot = jax.ops.segment_sum(msg, rcv_l, num_segments=Nl)
+        cnt = jax.ops.segment_sum(emask.astype(x_in.dtype), rcv_l,
+                                  num_segments=Nl)
+        aggr = tot / jnp.maximum(cnt, 1.0)[:, None]
+        y = aggr + x_in @ mlp["root"] + mlp["bias"]
+        return _finish(p, y, x_local, h_prev, nmask)
+
+    def gat_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l, emask,
+                 nmask, send_idx, enorm, self_norm):
+        """PyG GATConv heads=1 (nn/convs.py:241): self-loop per node +
+        softmax over incoming edges incl. the loop (1e-16 epsilon)."""
+        xp = x_in @ p["conv"]["weight"]                  # [Nl, C]
+        a_src = xp @ p["conv"]["att_src"][0]
+        a_dst = xp @ p["conv"]["att_dst"][0]
+        xp_t = _halo_table(xp, send_idx, axis)
+        a_src_t = _halo_table(a_src, send_idx, axis)
+        slope = 0.2
+        logits = a_src_t[snd_l] + a_dst[rcv_l]           # [El]
+        logits = jnp.where(logits >= 0, logits, slope * logits)
+        self_logit = a_src + a_dst                       # [Nl]
+        self_logit = jnp.where(self_logit >= 0, self_logit,
+                               slope * self_logit)
+        Nl = x_local.shape[0]
+        neg = jnp.where(emask, logits, -jnp.inf)
+        seg_max = jax.ops.segment_max(neg, rcv_l, num_segments=Nl)
+        m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max,
+                                  -jnp.inf), self_logit)  # [Nl], finite
+        ex = jnp.where(emask, jnp.exp(logits - m[rcv_l]), 0.0)
+        ex_self = jnp.exp(self_logit - m)
+        denom = (jax.ops.segment_sum(ex, rcv_l, num_segments=Nl)
+                 + ex_self + 1e-16)
+        num = (jax.ops.segment_sum(ex[:, None] * xp_t[snd_l], rcv_l,
+                                   num_segments=Nl)
+               + ex_self[:, None] * xp)
+        y = num / denom[:, None] + p["conv"]["bias"]
+        return _finish(p, y, x_local, h_prev, nmask)
 
     def gcn_step(p, x_local, x_in, h_prev, edges_l, snd_l, rcv_l, emask,
                  nmask, send_idx, enorm, self_norm):
@@ -231,11 +339,14 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         out = jax.ops.segment_sum(w[:, None] * xp_t[snd_l], rcv_l,
                                   num_segments=Nl)
         y = out + self_norm[:, None] * xp + p["conv"]["bias"]
-        # GRU disabled for GCN (MessageBlock.has_gru, layer.py:248)
-        if residual:
-            y = y + x_local
-        y = act_g(y)
-        return y * nmask[:, None], h_prev
+        # GRU disabled for GCN/GAT (MessageBlock.has_gru, layer.py:248)
+        return _finish(p, y, x_local, h_prev, nmask)
+
+    conv_step = {"_TripletMessage": triplet_step,
+                 "_TripletMessageLight": triplet_light_step,
+                 "_NNConv": nnconv_step,
+                 "_GCNConv": gcn_step,
+                 "_GATConv": gat_step}[conv_key]
 
     def pool(params, x, nmask):
         if readout == "GlobalLAPool":
@@ -303,13 +414,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         h = x
         for _ in range(message_steps):
             x_in = pairnorm(x, nmask) if use_pairnorm else x
-            if use_gru:
-                x, h = triplet_step(params, x, x_in, h, edges_l, snd_l,
-                                    rcv_l, emask, nmask, send_idx)
-            else:
-                x, h = gcn_step(params, x, x_in, h, edges_l, snd_l,
-                                rcv_l, emask, nmask, send_idx, enorm,
-                                self_norm)
+            x, h = conv_step(params, x, x_in, h, edges_l, snd_l, rcv_l,
+                             emask, nmask, send_idx, enorm, self_norm)
         return pool(params, x, nmask)  # replicated (psum'd) vector
 
     # check_vma=False: the sort-pool path derives its (genuinely

@@ -56,6 +56,9 @@ def _single_device(conv, readout, giant, graph_norm="_None"):
     ("_TripletMessage", "Set2Set"),
     ("_GCNConv", "GlobalLAPool"),
     ("_GCNConv", "GlobalPool5"),
+    ("_NNConv", "GlobalLAPool"),
+    ("_GATConv", "GlobalPool5"),
+    ("_TripletMessageLight", "Set2Set"),
 ])
 def test_sharded_forward_matches_single_device(conv, readout):
     giant = _giant_graph()
@@ -74,6 +77,8 @@ def test_sharded_forward_matches_single_device(conv, readout):
 @pytest.mark.parametrize("conv,readout", [
     ("_TripletMessage", "GlobalLAPool"),
     ("_GCNConv", "GlobalPool5"),
+    ("_NNConv", "GlobalLAPool"),
+    ("_GATConv", "GlobalPool5"),
 ])
 def test_sharded_gradients_match_single_device(conv, readout):
     """TRAINING parity (round-2 VERDICT item 3): grads of an MSE loss
@@ -103,8 +108,10 @@ def test_sharded_gradients_match_single_device(conv, readout):
     flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
     flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
     for (path, r), (_, g) in zip(flat_ref, flat_got):
+        # atol 5e-5: f32 summation-order noise across shards (GAT's
+        # softmax denominators amplify near-zero grad elements)
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), rtol=2e-4, atol=1e-5,
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(path))
 
 
