@@ -74,11 +74,9 @@ def _lstm(p: Dict, inp, h, c):
     return o * jnp.tanh(c2), c2
 
 
-def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
-                   readout: str = "GlobalLAPool") -> Dict:
-    """Pull the arrays the sharded forward needs out of a trained
-    Architecture param tree (any conv/readout in the supported subset)."""
-    mol = arch_params["mol"]
+def _extract_tower(mol: Dict, conv: str, readout: str) -> Dict:
+    """Pull one tower's arrays (lin0/conv/[gru]/readout/flat) out of a
+    trained _Tower param subtree."""
     kind = conv.strip().lstrip("_")
     convp = mol["conv"][f"{kind}_0"]
     out = {
@@ -86,8 +84,6 @@ def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
                  "bias": mol["lin0"]["linear"]["bias"]},
         "flat": {"kernel": mol["flat"]["linear"]["kernel"],
                  "bias": mol["flat"]["linear"]["bias"]},
-        "out": {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
-                "bias": arch_params["lin_out1"]["linear"]["bias"]},
     }
     key = conv.strip()
     if key == "_TripletMessage":
@@ -125,6 +121,34 @@ def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
                        "b_ih": ro["lstm_b_ih"], "b_hh": ro["lstm_b_hh"]}
     elif readout != "GlobalPool5":
         raise ValueError(f"sharded path: unsupported readout {readout!r}")
+    return out
+
+
+def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
+                   readout: str = "GlobalLAPool") -> Dict:
+    """Pull the arrays the sharded forward needs out of a trained
+    Architecture param tree (any conv/readout in the supported subset)."""
+    out = _extract_tower(arch_params["mol"], conv, readout)
+    out["out"] = {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
+                  "bias": arch_params["lin_out1"]["linear"]["bias"]}
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
+                        pro_readout: str = "GlobalPool5") -> Dict:
+    """Pull the arrays :func:`make_sharded_pair_forward` needs out of a
+    trained PairArchitecture(hetero=True) param tree.  The molecule
+    tower (``mol1``) is kept verbatim — the pair forward applies the
+    production flax ``_Tower`` to it; the protein tower (``mol2``) is
+    flattened for the sharded functional path."""
+    out = {
+        "mol1": pair_params["mol1"],
+        "pro": _extract_tower(pair_params["mol2"], pro_conv, pro_readout),
+        "out0": {"kernel": pair_params["lin_out0"]["linear"]["kernel"],
+                 "bias": pair_params["lin_out0"]["linear"]["bias"]},
+        "out1": {"kernel": pair_params["lin_out1"]["linear"]["kernel"],
+                 "bias": pair_params["lin_out1"]["linear"]["bias"]},
+    }
     return jax.tree_util.tree_map(jnp.asarray, out)
 
 
@@ -171,25 +195,40 @@ def _halo_table(z_local, send_idx, axis):
         [z_local, halo.reshape((-1,) + z_local.shape[1:])], axis=0)
 
 
-def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
-                         conv: str = "_TripletMessage",
-                         readout: str = "GlobalLAPool",
-                         graph_act: str = "CELU", pre_act: str = "CELU",
-                         flat_act: str = "CELU", residual: bool = True,
-                         graph_norm: str = "_None",
-                         sort_k: int = 3, axis: str = "graph"):
-    """Differentiable sharded forward over one giant graph.
+def _fusion_stats(x1, x2, mol_mask, nmask, axis):
+    """[max, mean] of the cross-graph dot-product matrix for ONE pair
+    (``dot_and_global_pool`` stats5=False, nn/fusion.py) with the second
+    (protein) side sharded over the mesh: psum/pmax reductions across
+    the node shards, differentiable max via owner selection."""
+    s = jnp.einsum("mc,nc->mn", x1, x2,
+                   preferred_element_type=jnp.float32)   # [Nm, Nl]
+    valid = mol_mask[:, None] & nmask[None, :]
+    smax_l = jnp.max(jnp.where(valid, s, -jnp.inf))
+    # pmax has no differentiation rule: take the global max through a
+    # stop_gradient pmax, then route the value (and its gradient) from
+    # the shard(s) that own it
+    owner = (jax.lax.stop_gradient(smax_l)
+             == jax.lax.pmax(jax.lax.stop_gradient(smax_l), axis))
+    n_own = jax.lax.psum(owner.astype(s.dtype), axis)
+    mx = (jax.lax.psum(jnp.where(owner, smax_l, 0.0), axis)
+          / jnp.maximum(n_own, 1.0))
+    tot = jax.lax.psum(jnp.sum(jnp.where(valid, s, 0.0)), axis)
+    cnt = jax.lax.psum(jnp.sum(valid.astype(s.dtype)), axis)
+    mean = tot / jnp.maximum(cnt, 1.0)
+    return jnp.stack([mx, mean])
 
-    Returns fn(params, node_shards [D,Nl,F], edge_shards [D,El,Fe],
-    senders_local [D,El], receivers_local [D,El], edge_mask [D,El],
-    node_mask [D,Nl], send_idx [D,D,H], edge_norm [D,El],
-    self_norm [D,Nl]) -> prediction [out_dim].  ``senders_local`` and
-    ``send_idx`` come from :func:`shard_inputs`; edge_norm/self_norm are
-    the host-precomputed GCN symmetric normalization (ignored for
-    TripletMessage)."""
+
+def _make_run_tower(message_steps: int, heads: int, conv: str,
+                    readout: str, graph_act: str, pre_act: str,
+                    residual: bool, graph_norm: str, sort_k: int,
+                    axis: str):
+    """Build the per-shard tower body: pre-linear -> message steps (v2
+    halo exchange) -> cross-shard readout.  Returns
+    ``run_tower(params, *local_arrays, fusion=None)`` -> pooled vector
+    (replicated via psum), plus per-step fusion stats when ``fusion``
+    = (xs1 [S,Nm,C], mol_mask [Nm]) is given (the pair model)."""
     act_g = ACTS[graph_act.strip()]
     act_pre = ACTS[pre_act.strip()]
-    act_flat = ACTS[flat_act.strip()]
     conv_key = conv.strip()
     use_gru = conv_key not in NO_GRU_CONVS
     if graph_norm.strip() not in ("_None", "_PairNorm"):
@@ -402,21 +441,52 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
             q_star = jnp.concatenate([q, r])
         return q_star                                     # [2C]
 
-    def tower_local(params, nodes_l, edges_l, snd_l, rcv_l, emask, nmask,
-                    send_idx, enorm, self_norm):
-        nodes_l, edges_l, snd_l, rcv_l, emask, nmask, send_idx, enorm, \
-            self_norm = (a[0] for a in (nodes_l, edges_l, snd_l, rcv_l,
-                                        emask, nmask, send_idx, enorm,
-                                        self_norm))
+    def run_tower(params, nodes_l, edges_l, snd_l, rcv_l, emask, nmask,
+                  send_idx, enorm, self_norm, fusion=None):
         x = nodes_l @ params["lin0"]["kernel"] + params["lin0"]["bias"]
         x = act_pre(x)
         x = x * nmask[:, None]
         h = x
-        for _ in range(message_steps):
+        stats = []
+        for step in range(message_steps):
             x_in = pairnorm(x, nmask) if use_pairnorm else x
             x, h = conv_step(params, x, x_in, h, edges_l, snd_l, rcv_l,
                              emask, nmask, send_idx, enorm, self_norm)
-        return pool(params, x, nmask)  # replicated (psum'd) vector
+            if fusion is not None:
+                xs1, mol_mask = fusion
+                stats.append(_fusion_stats(xs1[step], x, mol_mask,
+                                           nmask, axis))
+        pooled = pool(params, x, nmask)  # replicated (psum'd) vector
+        if fusion is None:
+            return pooled
+        return pooled, jnp.stack(stats)  # [S, 2] replicated
+
+    return run_tower
+
+
+def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
+                         conv: str = "_TripletMessage",
+                         readout: str = "GlobalLAPool",
+                         graph_act: str = "CELU", pre_act: str = "CELU",
+                         flat_act: str = "CELU", residual: bool = True,
+                         graph_norm: str = "_None",
+                         sort_k: int = 3, axis: str = "graph"):
+    """Differentiable sharded forward over one giant graph.
+
+    Returns fn(params, node_shards [D,Nl,F], edge_shards [D,El,Fe],
+    senders_local [D,El], receivers_local [D,El], edge_mask [D,El],
+    node_mask [D,Nl], send_idx [D,D,H], edge_norm [D,El],
+    self_norm [D,Nl]) -> prediction [out_dim].  ``senders_local`` and
+    ``send_idx`` come from :func:`shard_inputs`; edge_norm/self_norm are
+    the host-precomputed GCN symmetric normalization (ignored for
+    TripletMessage)."""
+    act_flat = ACTS[flat_act.strip()]
+    run_tower = _make_run_tower(message_steps, heads, conv, readout,
+                                graph_act, pre_act, residual, graph_norm,
+                                sort_k, axis)
+
+    def tower_local(params, *arrs):
+        return run_tower(params, *(a[0] for a in arrs))
 
     # check_vma=False: the sort-pool path derives its (genuinely
     # replicated) output from an all_gather, which the static
@@ -433,6 +503,89 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
         return out @ params["out"]["kernel"] + params["out"]["bias"]
 
     return jax.jit(forward)
+
+
+def make_sharded_pair_forward(mesh, cfg, axis: str = "graph"):
+    """Hetero-pair (DTI) forward with the PROTEIN tower sharded.
+
+    The molecule graph is small (<=cfg.max_nodes): its tower runs
+    replicated through the production flax ``_Tower`` (any mol
+    conv/readout/norm the model supports, deterministic mode).  The
+    protein contact-map graph (L~900, reference
+    src_2gi_dti_scr/utils.py:283-293) is node-partitioned over the mesh
+    with the v2 boundary-only halo exchange; the per-step cross-graph
+    fusion (``dot_and_global_pool`` [max, mean], model.py PairArchitecture)
+    reduces across shards with psum/pmax.
+
+    Returns fn(params, mol_batch: GraphBatch, *pro_inputs) -> [out_dim]
+    where params comes from :func:`extract_pair_params` and pro_inputs
+    from :func:`shard_inputs` on the protein graph.  Protein-tower
+    config restrictions match :func:`make_sharded_forward`; the head
+    requires end_norm='_None' (end dropout is a deterministic no-op)."""
+    from ..nn.model import _Tower
+    if cfg.end_norm.strip() != "_None":
+        raise ValueError("sharded pair path: end_norm must be _None")
+    hid = cfg.hid_dim
+    t1 = _Tower(in_dim=cfg.mol_in_dim, edge_dim=cfg.mol_edge_in_dim,
+                hid_dim=hid, flat_out=hid, block=cfg.mol_block,
+                readout=cfg.mol_readout, message_steps=cfg.message_steps,
+                cfg=cfg, max_nodes=cfg.max_nodes)
+    run_tower = _make_run_tower(cfg.message_steps, 3, cfg.pro_block,
+                                cfg.pro_readout, cfg.graph_act,
+                                cfg.pre_act, bool(cfg.graph_res),
+                                cfg.graph_norm, 3, axis)
+    act_flat = ACTS[cfg.flat_act.strip()]
+    act_end = ACTS[cfg.end_act.strip()]
+
+    def pair_tower_local(params, xs1, mol_mask, *arrs):
+        return run_tower(params, *(a[0] for a in arrs),
+                         fusion=(xs1, mol_mask))
+
+    pair_tower = jax.shard_map(
+        pair_tower_local, mesh=mesh,
+        in_specs=(P(), P(), P()) + (P(axis),) * 9,
+        out_specs=(P(), P()), check_vma=False)
+
+    def forward(params, mol_batch, *pro_inputs):
+        out1, xs1 = t1.apply({"params": params["mol1"]}, mol_batch, True,
+                             return_nodes=True)
+        xs1 = jnp.stack(xs1)                            # [S, Nm, C]
+        # fusion counts only the real pair's molecule nodes (graph 0)
+        mol_mask = mol_batch.node_mask & (mol_batch.node_graph == 0)
+        pooled2, fus = pair_tower(params["pro"], xs1, mol_mask,
+                                  *pro_inputs)
+        out2 = act_flat(pooled2 @ params["pro"]["flat"]["kernel"]
+                        + params["pro"]["flat"]["bias"])
+        # PairArchitecture head: [out1 | out2 | per-step (max, mean)]
+        feats = jnp.concatenate([out1[0], out2, fus.reshape(-1)])
+        z = act_end(feats @ params["out0"]["kernel"]
+                    + params["out0"]["bias"])
+        return z @ params["out1"]["kernel"] + params["out1"]["bias"]
+
+    return jax.jit(forward)
+
+
+def make_sharded_pair_train_step(mesh, cfg, lr: float = 1e-3,
+                                 axis: str = "graph"):
+    """One SGD step on a (small molecule, sharded giant protein) pair:
+    fwd+bwd through both towers and the cross-shard fusion.
+
+    Returns step(params, mol_batch, pro_inputs, y) -> (params, loss)."""
+    fwd = make_sharded_pair_forward(mesh, cfg, axis=axis)
+
+    def loss_fn(params, mol_batch, pro_inputs, y):
+        pred = fwd(params, mol_batch, *pro_inputs)
+        return jnp.mean((pred - y) ** 2)
+
+    @jax.jit
+    def step(params, mol_batch, pro_inputs, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, mol_batch,
+                                                  pro_inputs, y)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+        return params, loss
+
+    return step
 
 
 def make_sharded_train_step(mesh, message_steps: int, lr: float = 1e-3,

@@ -205,6 +205,129 @@ def test_protein_scale_contact_graph():
     assert np.isfinite(float(l0)) and float(l1) < float(l0)
 
 
+def _pair_setup(seed=0, L=240, Ep=1200):
+    rng = np.random.RandomState(seed)
+    Nm, Em = 26, 60
+    mol = (rng.randn(Nm, 15).astype(np.float32),
+           rng.randn(Em, 4).astype(np.float32),
+           rng.randint(0, Nm, Em).astype(np.int32),
+           rng.randint(0, Nm, Em).astype(np.int32))
+    pro = (rng.randn(L, 49).astype(np.float32),
+           rng.randn(Ep, 8).astype(np.float32),
+           rng.randint(0, L, Ep).astype(np.int32),
+           rng.randint(0, L, Ep).astype(np.int32))
+    return mol, pro
+
+
+def _pair_cfg(L, mol_block="_TripletMessage", pro_block="_GCNConv",
+              mol_readout="GlobalPool5", pro_readout="GlobalLAPool",
+              end_act="CELU"):
+    return ModelConfig(mol_block=mol_block, pro_block=pro_block,
+                       mol_readout=mol_readout, pro_readout=pro_readout,
+                       message_steps=2, e_dim=64, max_nodes=40,
+                       pro_max_nodes=L + 8,
+                       pre_norm="_None", graph_norm="_None",
+                       flat_norm="_None", end_norm="_None",
+                       pre_do="_None()", graph_do="_None()",
+                       flat_do="_None()", end_do="_None()",
+                       pre_act="CELU", graph_act="CELU",
+                       flat_act="CELU", end_act=end_act)
+
+
+def _pair_batches_and_model(mol, pro, cfg):
+    from glam_tpu.nn.model import PairArchitecture
+    model = PairArchitecture(cfg, hetero=True)
+    g1 = next(iter(GraphLoader([GraphArrays(
+        nodes=mol[0], edges=mol[1], senders=mol[2], receivers=mol[3],
+        y=np.zeros(1, np.float32))], 1, 1)))
+    g2 = next(iter(GraphLoader([GraphArrays(
+        nodes=pro[0], edges=pro[1], senders=pro[2], receivers=pro[3],
+        y=np.zeros(1, np.float32))], 1, 1)))
+    variables = model.init(jax.random.PRNGKey(0), g1, g2, True)
+    return model, g1, g2, variables
+
+
+@pytest.mark.parametrize("pro_conv,pro_readout", [
+    ("_GCNConv", "GlobalLAPool"),
+    ("_TripletMessage", "GlobalPool5"),
+])
+def test_sharded_pair_forward_matches_pair_architecture(pro_conv,
+                                                        pro_readout):
+    """DTI two-tower sharding: replicated flax molecule tower + sharded
+    protein tower + cross-shard per-step fusion equals
+    PairArchitecture(hetero=True)."""
+    from glam_tpu.parallel.sharded_model import (extract_pair_params,
+                                                 make_sharded_pair_forward)
+    mol, pro = _pair_setup()
+    cfg = _pair_cfg(240, pro_block=pro_conv, pro_readout=pro_readout,
+                    end_act="RReLU")
+    model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+    want = np.asarray(model.apply(variables, g1, g2, True))[0]
+
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_pair_forward(mesh, cfg)
+    params = extract_pair_params(variables["params"], pro_conv,
+                                 pro_readout)
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+    got = np.asarray(fwd(params, g1, *inputs))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_pair_gradients_match_pair_architecture():
+    """Gradients through BOTH towers and the cross-shard fusion match
+    the single-device PairArchitecture."""
+    from glam_tpu.parallel.sharded_model import (extract_pair_params,
+                                                 make_sharded_pair_forward)
+    mol, pro = _pair_setup(seed=7)
+    cfg = _pair_cfg(240)
+    model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+    y = jnp.asarray(0.6)
+
+    def single_loss(p):
+        out = model.apply({"params": p}, g1, g2, True)
+        return jnp.mean((out[0, 0] - y) ** 2)
+
+    ref = extract_pair_params(jax.grad(single_loss)(variables["params"]),
+                              "_GCNConv", "GlobalLAPool")
+
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_pair_forward(mesh, cfg)
+    params = extract_pair_params(variables["params"], "_GCNConv",
+                                 "GlobalLAPool")
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+
+    def sharded_loss(p):
+        return jnp.mean((fwd(p, g1, *inputs)[0] - y) ** 2)
+
+    got = jax.grad(sharded_loss)(params)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_sharded_pair_train_step_learns():
+    from glam_tpu.parallel.sharded_model import (
+        extract_pair_params, make_sharded_pair_train_step)
+    mol, pro = _pair_setup(seed=9)
+    cfg = _pair_cfg(240)
+    _, g1, _, variables = _pair_batches_and_model(mol, pro, cfg)
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    step = make_sharded_pair_train_step(mesh, cfg, lr=1e-4)
+    params = extract_pair_params(variables["params"], "_GCNConv",
+                                 "GlobalLAPool")
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+    y = jnp.asarray(0.5)
+    losses = []
+    for _ in range(4):
+        params, loss = step(params, g1, inputs, y)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_sharded_train_step_learns():
     giant = _giant_graph(seed=2)
     _, _, variables = _single_device("_TripletMessage", "GlobalLAPool",
