@@ -96,6 +96,42 @@ def set2set_attention_weights(readout_params: Dict, emb: np.ndarray,
     return alpha
 
 
+def triplet_attention_weights(conv_params: Dict, emb: np.ndarray,
+                              edge_attr: np.ndarray, senders: np.ndarray,
+                              receivers: np.ndarray,
+                              negative_slope: float = 0.2) -> np.ndarray:
+    """Per-atom, PER-HEAD TripletMessage attention (beyond the
+    reference's three modes): replay the trained triplet attention
+    (nn/convs.py:TripletMessage) on the final node embeddings and sum,
+    for every atom and head, the attention mass on its OUTGOING edges —
+    "how much the model attends to messages from this atom".  Returns
+    [N, heads], min-max normalized per head."""
+    wn = np.asarray(conv_params["weight_node"])       # [C, H*C]
+    we = np.asarray(conv_params["weight_edge"])       # [Fe, H*C]
+    watt = np.asarray(conv_params["weight_triplet_att"])  # [H, 3C]
+    N, C = emb.shape
+    H = watt.shape[0]
+    xp = (emb @ wn).reshape(N, H, C)
+    ep = (edge_attr @ we).reshape(-1, H, C)
+    a_i = np.einsum("nhc,hc->nh", xp, watt[:, :C])
+    a_e = np.einsum("ehc,hc->eh", ep, watt[:, C:2 * C])
+    a_j = np.einsum("nhc,hc->nh", xp, watt[:, 2 * C:])
+    logits = a_i[receivers] + a_e + a_j[senders]      # [E, H]
+    logits = np.where(logits >= 0, logits, negative_slope * logits)
+    # segment softmax over incoming edges per receiver (PyG 1e-16 eps)
+    mx = np.full((N, H), -np.inf, logits.dtype)
+    np.maximum.at(mx, receivers, logits)
+    mx = np.where(np.isfinite(mx), mx, 0.0)
+    ex = np.exp(logits - mx[receivers])
+    den = np.zeros((N, H), logits.dtype)
+    np.add.at(den, receivers, ex)
+    alpha = ex / (den[receivers] + 1e-16)             # [E, H]
+    w = np.zeros((N, H), logits.dtype)
+    np.add.at(w, senders, alpha)
+    lo, hi = w.min(axis=0), w.max(axis=0)
+    return (w - lo) / (hi - lo + 1e-12)
+
+
 def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
                   path: Optional[str] = None, title: str = ""):
     """Render the molecule colored by per-atom weights; returns the
@@ -133,13 +169,18 @@ def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
 class Visualizer:
     """Run a trained model over molecules and emit attention PNGs.
 
-    ``vis_content`` modes (parity with reference visualize_gp.py:83-104):
+    ``vis_content`` modes (parity with reference visualize_gp.py:83-104,
+    plus the per-head mode):
       hidden_node        mean |final node embedding| (any readout)
       lapool_attention   GlobalLAPool gate softmax (readout=GlobalLAPool)
       set2set_attention  last Set2Set step's attention (readout=Set2Set)
+      triplet_attention  PER-HEAD TripletMessage attention replayed on
+                         the final embeddings (mol_block=_TripletMessage;
+                         one PNG per head)
     """
 
-    MODES = ("hidden_node", "lapool_attention", "set2set_attention")
+    MODES = ("hidden_node", "lapool_attention", "set2set_attention",
+             "triplet_attention")
 
     def __init__(self, trainer, vis_content: str = "hidden_node"):
         self.trainer = trainer
@@ -153,11 +194,23 @@ class Visualizer:
         if vis_content == "set2set_attention" and readout != "Set2Set":
             raise ValueError("set2set_attention needs mol_readout="
                              f"Set2Set (model has {readout})")
+        block = trainer.args.get("mol_block", "_NNConv")
+        if (vis_content == "triplet_attention"
+                and block.strip() != "_TripletMessage"):
+            raise ValueError("triplet_attention needs mol_block="
+                             f"_TripletMessage (model has {block})")
         self.vis_content = vis_content
 
-    def _weights(self, emb: np.ndarray) -> np.ndarray:
+    def _weights(self, emb: np.ndarray, graph=None) -> np.ndarray:
         if self.vis_content == "hidden_node":
             return node_weights_from_embeddings(emb)
+        if self.vis_content == "triplet_attention":
+            conv = self.trainer.state.params["mol"]["conv"][
+                "TripletMessage_0"]
+            edge_attr, senders, receivers = graph
+            return triplet_attention_weights(
+                {k: np.asarray(v) for k, v in conv.items()},
+                emb, edge_attr, senders, receivers)
         ro = self.trainer.state.params["mol"]["readout"]
         ro = {k: np.asarray(v) if not isinstance(v, dict)
               else {kk: np.asarray(vv) for kk, vv in v.items()}
@@ -188,8 +241,15 @@ class Visualizer:
             _, node_steps = model.apply(variables, batch, True,
                                         return_nodes=True)
             emb = np.asarray(node_steps[-1])[:x.shape[0]]
-            w = self._weights(emb)
-            p = str(out / f"attention_{i}.png")
-            draw_molecule(smi, w, path=p)
-            paths.append(p)
+            w = self._weights(emb, graph=(e, snd, rcv))
+            if w.ndim == 2:  # per-head: one rendering per head
+                for h in range(w.shape[1]):
+                    p = str(out / f"attention_{i}_head{h}.png")
+                    draw_molecule(smi, w[:, h], path=p,
+                                  title=f"{smi[:40]} head {h}")
+                    paths.append(p)
+            else:
+                p = str(out / f"attention_{i}.png")
+                draw_molecule(smi, w, path=p)
+                paths.append(p)
         return paths

@@ -219,15 +219,63 @@ class TestVisualizerE2E:
             paths = viz.visualize(["CCO"], str(tmp_path / f"v_{mode}"))
             assert len(paths) == 1
 
+    def test_triplet_attention_mode(self, tmp_path):
+        """Per-head TripletMessage attention (beyond the reference's
+        three modes): weights are per-atom x per-head in [0,1] and
+        visualize() emits one PNG per head."""
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        from glam_tpu.viz.attention import Visualizer
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(24)
+        root = tmp_path / "demo_triplet"
+        (root / "raw").mkdir(parents=True)
+        src.to_csv(root / "raw" / "demo.csv", index=False)
+        args = {"dataset": "demo", "dataset_root": str(root),
+                "loss": "bcel", "epochs": 1, "batch_size": 12,
+                "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1,
+                "mol_block": "_TripletMessage", "seed": 1}
+        args, ds, kind = auto_dataset(args)
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        tr.train()
+        viz = Visualizer(tr, vis_content="triplet_attention")
+        paths = viz.visualize(["CCO"], str(tmp_path / "v_triplet"))
+        assert len(paths) == 3  # one per head
+        import os
+        assert all(os.path.getsize(p) > 1000 for p in paths)
+
+    def test_triplet_attention_weights_softmax(self):
+        """The replayed attention is a proper segment softmax: alpha
+        sums to 1 over each receiver's incoming edges, per head."""
+        from glam_tpu.viz.attention import triplet_attention_weights
+        rng = np.random.RandomState(0)
+        N, E, C, H = 6, 14, 8, 3
+        conv = {"weight_node": rng.randn(C, H * C).astype(np.float32),
+                "weight_edge": rng.randn(4, H * C).astype(np.float32),
+                "weight_triplet_att":
+                    rng.randn(H, 3 * C).astype(np.float32)}
+        emb = rng.randn(N, C).astype(np.float32)
+        e = rng.randn(E, 4).astype(np.float32)
+        snd = rng.randint(0, N, E)
+        rcv = rng.randint(0, N, E)
+        w = triplet_attention_weights(conv, emb, e, snd, rcv)
+        assert w.shape == (N, H)
+        assert w.min() >= 0.0 and w.max() <= 1.0 + 1e-6
+        # per-head min-max normalization reaches both endpoints
+        np.testing.assert_allclose(w.min(axis=0), 0.0, atol=1e-6)
+        np.testing.assert_allclose(w.max(axis=0), 1.0, atol=1e-5)
+
     def test_mode_validation(self):
         from glam_tpu.viz.attention import Visualizer
 
         class FakeTrainer:
-            args = {"mol_readout": "GlobalPool5"}
+            args = {"mol_readout": "GlobalPool5", "mol_block": "_NNConv"}
 
         import pytest as _pytest
         with _pytest.raises(ValueError):
             Visualizer(FakeTrainer(), vis_content="lapool_attention")
+        with _pytest.raises(ValueError):
+            Visualizer(FakeTrainer(), vis_content="triplet_attention")
         with _pytest.raises(ValueError):
             Visualizer(FakeTrainer(), vis_content="nope")
 
