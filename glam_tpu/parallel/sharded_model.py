@@ -74,9 +74,10 @@ def _lstm(p: Dict, inp, h, c):
     return o * jnp.tanh(c2), c2
 
 
-def _extract_tower(mol: Dict, conv: str, readout: str) -> Dict:
-    """Pull one tower's arrays (lin0/conv/[gru]/readout/flat) out of a
-    trained _Tower param subtree."""
+def _extract_tower(mol: Dict, conv: str, readout: str,
+                   graph_norm: str = "_None") -> Dict:
+    """Pull one tower's arrays (lin0/conv/[gru]/[norm]/readout/flat) out
+    of a trained _Tower param subtree."""
     kind = conv.strip().lstrip("_")
     convp = mol["conv"][f"{kind}_0"]
     out = {
@@ -85,6 +86,9 @@ def _extract_tower(mol: Dict, conv: str, readout: str) -> Dict:
         "flat": {"kernel": mol["flat"]["linear"]["kernel"],
                  "bias": mol["flat"]["linear"]["bias"]},
     }
+    if graph_norm.strip() == "_LayerNorm":  # the only parameterized
+        ln = mol["conv"]["GraphLayerNorm_0"]  # supported graph norm
+        out["norm"] = {"scale": ln["scale"], "bias": ln["bias"]}
     key = conv.strip()
     if key == "_TripletMessage":
         out["conv"] = {k: convp[k] for k in
@@ -125,17 +129,19 @@ def _extract_tower(mol: Dict, conv: str, readout: str) -> Dict:
 
 
 def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
-                   readout: str = "GlobalLAPool") -> Dict:
+                   readout: str = "GlobalLAPool",
+                   graph_norm: str = "_None") -> Dict:
     """Pull the arrays the sharded forward needs out of a trained
     Architecture param tree (any conv/readout in the supported subset)."""
-    out = _extract_tower(arch_params["mol"], conv, readout)
+    out = _extract_tower(arch_params["mol"], conv, readout, graph_norm)
     out["out"] = {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
                   "bias": arch_params["lin_out1"]["linear"]["bias"]}
     return jax.tree_util.tree_map(jnp.asarray, out)
 
 
 def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
-                        pro_readout: str = "GlobalPool5") -> Dict:
+                        pro_readout: str = "GlobalPool5",
+                        graph_norm: str = "_None") -> Dict:
     """Pull the arrays :func:`make_sharded_pair_forward` needs out of a
     trained PairArchitecture(hetero=True) param tree.  The molecule
     tower (``mol1``) is kept verbatim — the pair forward applies the
@@ -143,7 +149,8 @@ def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
     flattened for the sharded functional path."""
     out = {
         "mol1": pair_params["mol1"],
-        "pro": _extract_tower(pair_params["mol2"], pro_conv, pro_readout),
+        "pro": _extract_tower(pair_params["mol2"], pro_conv, pro_readout,
+                              graph_norm),
         "out0": {"kernel": pair_params["lin_out0"]["linear"]["kernel"],
                  "bias": pair_params["lin_out0"]["linear"]["bias"]},
         "out1": {"kernel": pair_params["lin_out1"]["linear"]["kernel"],
@@ -168,6 +175,8 @@ def insert_params(arch_params: Dict, sharded: Dict,
     mol["conv"][f"{kind}_0"].update(sharded["conv"])
     if "gru" in sharded:
         mol["conv"]["gru"].update(sharded["gru"])
+    if "norm" in sharded:
+        mol["conv"]["GraphLayerNorm_0"].update(sharded["norm"])
     if readout == "GlobalLAPool":
         mol["readout"]["gate_nn"]["kernel"] = sharded["gate"]["kernel"]
         mol["readout"]["gate_nn"]["bias"] = sharded["gate"]["bias"]
@@ -231,12 +240,12 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
     act_pre = ACTS[pre_act.strip()]
     conv_key = conv.strip()
     use_gru = conv_key not in NO_GRU_CONVS
-    if graph_norm.strip() not in ("_None", "_PairNorm"):
+    gn = graph_norm.strip()
+    if gn not in ("_None", "_PairNorm", "_GraphSizeNorm", "_LayerNorm"):
         raise ValueError(
             f"sharded path: unsupported graph_norm {graph_norm!r}")
-    use_pairnorm = graph_norm.strip() == "_PairNorm"
 
-    def pairnorm(x, nmask):
+    def pairnorm(p, x, nmask):
         """PyG PairNorm(scale=1) over the ONE giant graph: the per-graph
         center/scale become global psum statistics across shards."""
         m = nmask[:, None].astype(x.dtype)
@@ -245,6 +254,31 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         xc = (x - mean) * m[:, 0][:, None]
         ms = jax.lax.psum(jnp.sum(xc * xc), axis) / cnt
         return xc / jnp.sqrt(1e-5 + ms)
+
+    def graphsizenorm(p, x, nmask):
+        """PyG GraphSizeNorm: x / sqrt(|V|) with |V| the GLOBAL node
+        count of the one giant graph (nn/norms.py:121)."""
+        cnt = jax.lax.psum(jnp.sum(nmask.astype(x.dtype)), axis)
+        return x * jax.lax.rsqrt(jnp.maximum(cnt, 1.0))
+
+    def layernorm(p, x, nmask):
+        """PyG graph LayerNorm (nn/norms.py:75): one scalar mean/var
+        over ALL node*channel entries of the giant graph (psum across
+        shards), per-channel affine from the trained norm params."""
+        m = nmask[:, None].astype(x.dtype)
+        denom = (jax.lax.psum(jnp.sum(m), axis)
+                 * jnp.asarray(x.shape[-1], x.dtype))
+        denom = jnp.maximum(denom, 1.0)
+        mean = jax.lax.psum(jnp.sum(x * m), axis) / denom
+        xc = (x - mean) * m
+        var = jax.lax.psum(jnp.sum(xc * xc), axis) / denom
+        out = xc / jnp.sqrt(var + 1e-5)
+        return out * p["norm"]["scale"] + p["norm"]["bias"]
+
+    norm_fn = {"_None": lambda p, x, nmask: x,
+               "_PairNorm": pairnorm,
+               "_GraphSizeNorm": graphsizenorm,
+               "_LayerNorm": layernorm}[gn]
 
     def _masked_seg_softmax(logits, rcv_l, emask, Nl):
         """segment_softmax over real local edges (1e-16 PyG epsilon)."""
@@ -449,7 +483,7 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         h = x
         stats = []
         for step in range(message_steps):
-            x_in = pairnorm(x, nmask) if use_pairnorm else x
+            x_in = norm_fn(params, x, nmask)
             x, h = conv_step(params, x, x_in, h, edges_l, snd_l, rcv_l,
                              emask, nmask, send_idx, enorm, self_norm)
             if fusion is not None:

@@ -115,17 +115,19 @@ def test_sharded_gradients_match_single_device(conv, readout):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_pairnorm_sharded_matches_single_device():
-    """graph_norm=_PairNorm: the per-graph statistics become global
-    psum statistics on a giant graph; forward parity holds."""
+@pytest.mark.parametrize("graph_norm", ["_PairNorm", "_GraphSizeNorm",
+                                        "_LayerNorm"])
+def test_norms_sharded_match_single_device(graph_norm):
+    """Giant-graph norms: the per-graph statistics become global psum
+    statistics across shards; forward parity holds."""
     giant = _giant_graph(seed=5)
     model, batch, variables = _single_device(
-        "_TripletMessage", "GlobalLAPool", giant, graph_norm="_PairNorm")
+        "_TripletMessage", "GlobalLAPool", giant, graph_norm=graph_norm)
     want = np.asarray(model.apply(variables, batch, True))[0]
     mesh = make_mesh(jax.devices()[:D], ("graph",))
     fwd = make_sharded_forward(mesh, message_steps=3,
-                               graph_norm="_PairNorm")
-    params = extract_params(variables["params"])
+                               graph_norm=graph_norm)
+    params = extract_params(variables["params"], graph_norm=graph_norm)
     got = np.asarray(fwd(params, *[jnp.asarray(a) for a in
                                    shard_inputs(*giant, D)]))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
