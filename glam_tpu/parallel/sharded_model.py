@@ -168,7 +168,14 @@ def insert_params(arch_params: Dict, sharded: Dict,
     # tree_map rebuilds every container, so mutating `out` below never
     # touches the caller's tree
     out = jax.tree_util.tree_map(jnp.asarray, arch_params)
-    mol = out["mol"]
+    _insert_tower(out["mol"], sharded, conv, readout)
+    out["lin_out1"]["linear"]["kernel"] = sharded["out"]["kernel"]
+    out["lin_out1"]["linear"]["bias"] = sharded["out"]["bias"]
+    return out
+
+
+def _insert_tower(mol: Dict, sharded: Dict, conv: str,
+                  readout: str) -> None:
     kind = conv.strip().lstrip("_")
     mol["lin0"]["linear"]["kernel"] = sharded["lin0"]["kernel"]
     mol["lin0"]["linear"]["bias"] = sharded["lin0"]["bias"]
@@ -187,8 +194,21 @@ def insert_params(arch_params: Dict, sharded: Dict,
             mol["readout"][f"lstm_{k}"] = v
     mol["flat"]["linear"]["kernel"] = sharded["flat"]["kernel"]
     mol["flat"]["linear"]["bias"] = sharded["flat"]["bias"]
-    out["lin_out1"]["linear"]["kernel"] = sharded["out"]["kernel"]
-    out["lin_out1"]["linear"]["bias"] = sharded["out"]["bias"]
+
+
+def insert_pair_params(pair_params: Dict, sharded: Dict,
+                       pro_conv: str = "_GCNConv",
+                       pro_readout: str = "GlobalPool5") -> Dict:
+    """Inverse of :func:`extract_pair_params`: write pair-sharded-trained
+    arrays back into a PairArchitecture(hetero=True) param tree (train
+    the giant-protein DTI model sharded, then serve it single-device)."""
+    out = jax.tree_util.tree_map(jnp.asarray, pair_params)
+    out["mol1"] = jax.tree_util.tree_map(jnp.asarray, sharded["mol1"])
+    _insert_tower(out["mol2"], sharded["pro"], pro_conv, pro_readout)
+    out["lin_out0"]["linear"]["kernel"] = sharded["out0"]["kernel"]
+    out["lin_out0"]["linear"]["bias"] = sharded["out0"]["bias"]
+    out["lin_out1"]["linear"]["kernel"] = sharded["out1"]["kernel"]
+    out["lin_out1"]["linear"]["bias"] = sharded["out1"]["bias"]
     return out
 
 

@@ -310,6 +310,33 @@ def test_sharded_pair_gradients_match_pair_architecture():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_sharded_pair_train_then_single_device_serve():
+    """Round-trip: train the DTI pair model sharded, insert_pair_params
+    back, and the single-device PairArchitecture reproduces the sharded
+    prediction."""
+    from glam_tpu.parallel.sharded_model import (
+        extract_pair_params, insert_pair_params, make_sharded_pair_forward,
+        make_sharded_pair_train_step)
+    mol, pro = _pair_setup(seed=11)
+    cfg = _pair_cfg(240)
+    model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    step = make_sharded_pair_train_step(mesh, cfg, lr=1e-4)
+    fwd = make_sharded_pair_forward(mesh, cfg)
+    params = extract_pair_params(variables["params"], "_GCNConv",
+                                 "GlobalLAPool")
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+    for _ in range(3):
+        params, _ = step(params, g1, inputs, jnp.asarray(0.4))
+    sharded_pred = float(np.asarray(fwd(params, g1, *inputs))[0])
+    merged = insert_pair_params(variables["params"], params, "_GCNConv",
+                                "GlobalLAPool")
+    single_pred = float(np.asarray(
+        model.apply({"params": merged}, g1, g2, True))[0, 0])
+    assert abs(single_pred - sharded_pred) < 1e-4 + 1e-4 * abs(
+        sharded_pred)
+
+
 def test_sharded_pair_train_step_learns():
     from glam_tpu.parallel.sharded_model import (
         extract_pair_params, make_sharded_pair_train_step)
