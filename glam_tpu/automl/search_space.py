@@ -198,6 +198,7 @@ _CLI_FLAGS = frozenset([
     "batch_size", "epochs", "loss", "optim", "k", "lr", "lr_reduce_rate",
     "lr_reduce_patience", "early_stop_patience", "verbose_patience",
     "work_dir", "platform", "scan_steps", "dtype", "pallas", "n_devices",
+    "probe_compile",
 ])
 
 

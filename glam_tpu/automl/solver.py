@@ -40,7 +40,8 @@ class GLAM:
                  work_dir: str = ".", env: Optional[Dict] = None,
                  high_fidelity_epochs: int = 2000,
                  low_fidelity_epochs: Optional[int] = None,
-                 platform: Optional[str] = None):
+                 platform: Optional[str] = None,
+                 probe_compile: float = 0.0):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -52,6 +53,7 @@ class GLAM:
         self.high_fidelity_epochs = high_fidelity_epochs
         self.low_fidelity_epochs = low_fidelity_epochs
         self.platform = platform
+        self.probe_compile = float(probe_compile or 0.0)
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
@@ -89,6 +91,10 @@ class GLAM:
             "--work_dir", str(self.work_dir)]
         if self.platform:
             argv += ["--platform", self.platform]
+        if self.probe_compile > 0:
+            # validated compile per trial: reject lottery-slow
+            # executables before they poison the shared persistent cache
+            argv += ["--probe_compile", str(self.probe_compile)]
         return subprocess.Popen(argv, env=self.env)
 
     def low_fidelity_training(self):

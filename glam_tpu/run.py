@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "path — currently the XLA segment pipeline "
                         "(325M vs 2.2M edges/s on v5e, see bench.py); "
                         "1 = force the fused kernel, 0 = force XLA")
+    p.add_argument("--probe_compile", default=0.0, type=float,
+                   help="validated compile: minimum train-dispatch "
+                        "edges/s; below it the persistent-cache entry "
+                        "is evicted and the step recompiled (up to 3 "
+                        "attempts) before training. 0 = off. Guards "
+                        "against the remote-compile service's ~30x "
+                        "executable-quality lottery")
     p.add_argument("--n_devices", default=1, type=int,
                    help="data-parallel training over the first N chips "
                         "(batch_size must be divisible by N)")

@@ -508,9 +508,69 @@ class Trainer:
         return mean_loss, binary_metrics_multi_target_nan(y, score, pred)
 
     # ------------------------------------------------------------------
+    def _probe_compile(self, rng) -> None:
+        """Validated compile: reject lottery-slow executables.
+
+        The tunneled remote-compile service has ~30x run-to-run
+        executable-quality variance (memory/axon-tpu-quirks), and with
+        the persistent cache enabled a slow executable would be reloaded
+        by every rerun of this config.  With --probe_compile FLOOR
+        (edges/s) set, time the compiled train dispatch on the first
+        batch before training; below the floor, evict the just-written
+        persistent-cache entries, clear the jit cache, and recompile
+        (up to 3 attempts, keeping the last).  Probe steps run on
+        disposable copies of the train state — training itself is
+        unaffected."""
+        floor = float(self.args.get("probe_compile", 0) or 0)
+        if floor <= 0:
+            return
+        from ..utils.cache import (evict_new_cache_entries,
+                                   snapshot_cache_entries)
+        scan = int(self.args.get("scan_steps", 8))
+        ep = getattr(self.train_loader, "epoch", 0)
+        batch = next(iter(self.train_loader))
+        if hasattr(self.train_loader, "set_epoch"):
+            self.train_loader.set_epoch(ep)  # undo the probe's iterator
+        parts = self._as_parts(batch)
+        if scan > 1:
+            payload = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * scan), parts)
+            fn = self._train_scan
+        else:
+            payload, fn = parts, self._train_step
+        edges_per_call = float(np.asarray(
+            parts[0].edge_mask).sum()) * max(scan, 1)
+
+        def fresh_state():  # fn donates its state argument
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x).copy(), self.state)
+
+        reps = 3
+        for attempt in range(3):
+            snap = snapshot_cache_entries()
+            st, loss = fn(fresh_state(), payload, rng)  # compile+run
+            jax.block_until_ready(loss)
+            t0 = time.time()
+            for _ in range(reps):
+                st, loss = fn(st, payload, rng)
+            jax.block_until_ready(loss)
+            rate = edges_per_call * reps / max(time.time() - t0, 1e-9)
+            if rate >= floor:
+                self.log(f"compile probe ok: {rate:.3e} edges/s "
+                         f"(attempt {attempt + 1})", with_time=True)
+                return
+            n = evict_new_cache_entries(snap)
+            self.log(f"compile probe SLOW: {rate:.3e} < {floor:.1e} "
+                     f"edges/s; evicted {n} cache entries, recompiling "
+                     f"(attempt {attempt + 1})", with_time=True)
+            jax.clear_caches()
+        self.log("compile probe: floor not reached after 3 attempts; "
+                 "continuing with the last executable", with_time=True)
+
     def train(self):
         self.log("Training start...")
         rng = jax.random.PRNGKey(int(self.args.get("seed", 1234)) + 7)
+        self._probe_compile(rng)
         early_stop_cnt = getattr(self, "_early_stop_cnt", 0)
         start_epoch = getattr(self, "_start_epoch", 0)
         epochs = int(self.args.get("epochs", 30))

@@ -37,3 +37,42 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     # skip trivially fast compiles (cache IO would cost more than they do)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return str(path)
+
+
+def snapshot_cache_entries():
+    """Snapshot the persistent-cache directory's entry set (or None when
+    no persistent cache is configured).  Pair with
+    ``evict_new_cache_entries`` to drop entries written after the
+    snapshot — the recovery path for the remote-compile service's
+    executable-quality lottery: a slow executable that lands in the
+    persistent cache would otherwise be reloaded by every later process
+    (memory/axon-tpu-quirks: ~30x run-to-run quality variance)."""
+    import jax
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return None
+    return d, frozenset(os.listdir(d))
+
+
+def evict_new_cache_entries(snapshot) -> int:
+    """Remove persistent-cache entries created since ``snapshot``.
+
+    Returns the number of entries removed.  Safe under concurrent
+    trials: only files absent from this snapshot are touched, and
+    missing files are ignored."""
+    if snapshot is None:
+        return 0
+    d, before = snapshot
+    removed = 0
+    try:
+        current = os.listdir(d)
+    except OSError:
+        return 0
+    for name in current:
+        if name not in before:
+            try:
+                os.remove(os.path.join(d, name))
+                removed += 1
+            except OSError:
+                pass
+    return removed
