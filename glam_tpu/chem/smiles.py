@@ -420,9 +420,32 @@ def _hybridization(mol: Mol, i: int) -> int:
 
 
 def _finalize(mol: Mol) -> None:
+    # Implicit-H counts must be spelling-invariant: Kekulé and aromatic
+    # forms of one molecule feed the same canonical molecule key
+    # (chem/scaffold.py molecule_key — the DDI store dedup, reference
+    # src_2gi_ddi/dataset.py:118-124 canonical SMILES).  Snapshot the
+    # as-written bond orders before aromaticity perception rewrites
+    # ring bonds to order 4, and remember which atoms the INPUT spelled
+    # aromatic (lowercase) vs. which perception upgraded.
+    written_orders = [b.order for b in mol.bonds]
+    written_aromatic = [a.aromatic for a in mol.atoms]
     _perceive_aromaticity(mol)
     for i, atom in enumerate(mol.atoms):
-        s = sum(_BOND_ORDER[mol.bonds[bi].order] for bi in atom.bonds)
+        if atom.aromatic and not atom.in_bracket \
+                and atom.symbol in ("O", "S", "Se", "Te") \
+                and len(atom.bonds) == 2:
+            # two-connected aromatic chalcogens donate a lone pair
+            # (furan O / thiophene S / selenophene Se): no implicit H
+            # in either spelling (RDKit semantics)
+            atom.num_h = 0
+            continue
+        if written_aromatic[i]:
+            s = sum(_BOND_ORDER[mol.bonds[bi].order] for bi in atom.bonds)
+        else:
+            # Kekulé-written atom: the input's bond orders define the
+            # valence — the aromatic rewrite must not change H counts
+            # (C1=CC=CN1 is pyrrole with an N-H, same as c1cc[nH]c1)
+            s = sum(_BOND_ORDER[written_orders[bi]] for bi in atom.bonds)
         atom.num_h = _implicit_h(atom, s)
     for i, atom in enumerate(mol.atoms):
         atom.hybridization = _hybridization(mol, i)

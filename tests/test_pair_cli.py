@@ -23,6 +23,30 @@ class TestMoleculeKey:
     def test_unparseable_empty(self):
         assert molecule_key("not_a_smiles((((") == ""
 
+    def test_kekule_aromatic_spellings_collapse(self):
+        """Implicit-H counts are spelling-invariant: the Kekulé and
+        aromatic forms of one heteroaromatic map to one store key (the
+        reference dedups via RDKit canonical SMILES,
+        src_2gi_ddi/dataset.py:118-124)."""
+        pairs = [("c1ccsc1", "C1=CC=CS1"),        # thiophene
+                 ("c1ccoc1", "C1=CC=CO1"),        # furan
+                 ("c1cc[nH]c1", "C1=CC=CN1"),     # pyrrole (N-H!)
+                 ("c1ccncc1", "C1=CC=NC=C1"),     # pyridine
+                 ("c1cnc[nH]1", "C1=NC=CN1"),     # imidazole
+                 ("Cc1ccccc1", "CC1=CC=CC=C1")]   # toluene
+        for a, b in pairs:
+            assert molecule_key(a) == molecule_key(b), (a, b)
+        # and the heteroaromatics stay mutually distinct
+        assert len({molecule_key(s) for s, _ in pairs}) == len(pairs)
+
+    def test_aromatic_chalcogen_no_implicit_h(self):
+        """Two-connected aromatic O/S donate a lone pair, not an H
+        (RDKit semantics): thiophene S has 0 implicit hydrogens."""
+        from glam_tpu.chem.smiles import parse_smiles
+        s_atom = [a for a in parse_smiles("c1ccsc1").atoms
+                  if a.symbol == "S"][0]
+        assert s_atom.num_h == 0
+
 
 @pytest.fixture(scope="module")
 def ddi_root(tmp_path_factory):
