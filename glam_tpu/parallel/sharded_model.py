@@ -23,11 +23,17 @@ partitioning the node axis over a slice bounds per-chip memory while the
 halo traffic stays proportional to the contact boundary.
 
 Supported config subset (deterministic giant-graph regime):
-graph_norm in {'_None', '_PairNorm' (global psum statistics — one giant
-graph IS one PairNorm group)}, dropouts '_None()', acts in {CELU, ReLU,
-LeakyReLU, RReLU (eval slope), _None}, optional residual, GRU state for
-TripletMessage/TripletMessageLight/NNConv (disabled for GCN/GAT, as in
-MessageBlock — reference layer.py:248).
+graph_norm in {'_None', '_PairNorm', '_GraphSizeNorm', '_LayerNorm',
+'_BatchNorm'} — per-graph statistics become global psum statistics (one
+giant graph IS one norm group); BatchNorm offers bn_mode='batch'
+(global masked batch statistics, single-device TRAIN parity — the
+sharded-serving default, since for one giant graph the batch statistics
+are the population statistics) or 'running' (trained running averages
+via extract_params(batch_stats=...), single-device EVAL parity).
+Dropouts '_None()', acts in {CELU, ReLU, LeakyReLU, RReLU (eval slope),
+_None}, optional residual, GRU state for TripletMessage/
+TripletMessageLight/NNConv (disabled for GCN/GAT, as in MessageBlock —
+reference layer.py:248).
 """
 from __future__ import annotations
 
@@ -75,9 +81,12 @@ def _lstm(p: Dict, inp, h, c):
 
 
 def _extract_tower(mol: Dict, conv: str, readout: str,
-                   graph_norm: str = "_None") -> Dict:
+                   graph_norm: str = "_None",
+                   bn_stats: Optional[Dict] = None) -> Dict:
     """Pull one tower's arrays (lin0/conv/[gru]/[norm]/readout/flat) out
-    of a trained _Tower param subtree."""
+    of a trained _Tower param subtree.  ``bn_stats`` is the tower's
+    "batch_stats" collection subtree — required only for
+    graph_norm='_BatchNorm' with bn_mode='running'."""
     kind = conv.strip().lstrip("_")
     convp = mol["conv"][f"{kind}_0"]
     out = {
@@ -86,9 +95,16 @@ def _extract_tower(mol: Dict, conv: str, readout: str,
         "flat": {"kernel": mol["flat"]["linear"]["kernel"],
                  "bias": mol["flat"]["linear"]["bias"]},
     }
-    if graph_norm.strip() == "_LayerNorm":  # the only parameterized
-        ln = mol["conv"]["GraphLayerNorm_0"]  # supported graph norm
+    gn = graph_norm.strip()
+    if gn == "_LayerNorm":
+        ln = mol["conv"]["GraphLayerNorm_0"]
         out["norm"] = {"scale": ln["scale"], "bias": ln["bias"]}
+    elif gn == "_BatchNorm":
+        bn = mol["conv"]["BatchNorm_0"]
+        out["norm"] = {"scale": bn["scale"], "bias": bn["bias"]}
+        if bn_stats is not None:  # running stats for bn_mode="running"
+            ra = bn_stats["conv"]["BatchNorm_0"]
+            out["norm_ra"] = {"mean": ra["mean"], "var": ra["var"]}
     key = conv.strip()
     if key == "_TripletMessage":
         out["conv"] = {k: convp[k] for k in
@@ -130,10 +146,14 @@ def _extract_tower(mol: Dict, conv: str, readout: str,
 
 def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
                    readout: str = "GlobalLAPool",
-                   graph_norm: str = "_None") -> Dict:
+                   graph_norm: str = "_None",
+                   batch_stats: Optional[Dict] = None) -> Dict:
     """Pull the arrays the sharded forward needs out of a trained
-    Architecture param tree (any conv/readout in the supported subset)."""
-    out = _extract_tower(arch_params["mol"], conv, readout, graph_norm)
+    Architecture param tree (any conv/readout in the supported subset).
+    Pass the model's "batch_stats" collection for
+    graph_norm='_BatchNorm' + bn_mode='running'."""
+    out = _extract_tower(arch_params["mol"], conv, readout, graph_norm,
+                         bn_stats=(batch_stats or {}).get("mol"))
     out["out"] = {"kernel": arch_params["lin_out1"]["linear"]["kernel"],
                   "bias": arch_params["lin_out1"]["linear"]["bias"]}
     return jax.tree_util.tree_map(jnp.asarray, out)
@@ -141,7 +161,8 @@ def extract_params(arch_params: Dict, conv: str = "_TripletMessage",
 
 def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
                         pro_readout: str = "GlobalPool5",
-                        graph_norm: str = "_None") -> Dict:
+                        graph_norm: str = "_None",
+                        batch_stats: Optional[Dict] = None) -> Dict:
     """Pull the arrays :func:`make_sharded_pair_forward` needs out of a
     trained PairArchitecture(hetero=True) param tree.  The molecule
     tower (``mol1``) is kept verbatim — the pair forward applies the
@@ -150,7 +171,8 @@ def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
     out = {
         "mol1": pair_params["mol1"],
         "pro": _extract_tower(pair_params["mol2"], pro_conv, pro_readout,
-                              graph_norm),
+                              graph_norm,
+                              bn_stats=(batch_stats or {}).get("mol2")),
         "out0": {"kernel": pair_params["lin_out0"]["linear"]["kernel"],
                  "bias": pair_params["lin_out0"]["linear"]["bias"]},
         "out1": {"kernel": pair_params["lin_out1"]["linear"]["kernel"],
@@ -161,21 +183,22 @@ def extract_pair_params(pair_params: Dict, pro_conv: str = "_GCNConv",
 
 def insert_params(arch_params: Dict, sharded: Dict,
                   conv: str = "_TripletMessage",
-                  readout: str = "GlobalLAPool") -> Dict:
+                  readout: str = "GlobalLAPool",
+                  graph_norm: str = "_LayerNorm") -> Dict:
     """Inverse of :func:`extract_params`: write sharded-trained arrays
     back into an Architecture param tree (train sharded on the mesh,
     then serve/fine-tune single-device with the same checkpoint)."""
     # tree_map rebuilds every container, so mutating `out` below never
     # touches the caller's tree
     out = jax.tree_util.tree_map(jnp.asarray, arch_params)
-    _insert_tower(out["mol"], sharded, conv, readout)
+    _insert_tower(out["mol"], sharded, conv, readout, graph_norm)
     out["lin_out1"]["linear"]["kernel"] = sharded["out"]["kernel"]
     out["lin_out1"]["linear"]["bias"] = sharded["out"]["bias"]
     return out
 
 
 def _insert_tower(mol: Dict, sharded: Dict, conv: str,
-                  readout: str) -> None:
+                  readout: str, graph_norm: str = "_LayerNorm") -> None:
     kind = conv.strip().lstrip("_")
     mol["lin0"]["linear"]["kernel"] = sharded["lin0"]["kernel"]
     mol["lin0"]["linear"]["bias"] = sharded["lin0"]["bias"]
@@ -183,7 +206,9 @@ def _insert_tower(mol: Dict, sharded: Dict, conv: str,
     if "gru" in sharded:
         mol["conv"]["gru"].update(sharded["gru"])
     if "norm" in sharded:
-        mol["conv"]["GraphLayerNorm_0"].update(sharded["norm"])
+        norm_mod = {"_LayerNorm": "GraphLayerNorm_0",
+                    "_BatchNorm": "BatchNorm_0"}[graph_norm.strip()]
+        mol["conv"][norm_mod].update(sharded["norm"])
     if readout == "GlobalLAPool":
         mol["readout"]["gate_nn"]["kernel"] = sharded["gate"]["kernel"]
         mol["readout"]["gate_nn"]["bias"] = sharded["gate"]["bias"]
@@ -250,7 +275,7 @@ def _fusion_stats(x1, x2, mol_mask, nmask, axis):
 def _make_run_tower(message_steps: int, heads: int, conv: str,
                     readout: str, graph_act: str, pre_act: str,
                     residual: bool, graph_norm: str, sort_k: int,
-                    axis: str):
+                    axis: str, bn_mode: str = "batch"):
     """Build the per-shard tower body: pre-linear -> message steps (v2
     halo exchange) -> cross-shard readout.  Returns
     ``run_tower(params, *local_arrays, fusion=None)`` -> pooled vector
@@ -261,9 +286,13 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
     conv_key = conv.strip()
     use_gru = conv_key not in NO_GRU_CONVS
     gn = graph_norm.strip()
-    if gn not in ("_None", "_PairNorm", "_GraphSizeNorm", "_LayerNorm"):
+    if gn not in ("_None", "_PairNorm", "_GraphSizeNorm", "_LayerNorm",
+                  "_BatchNorm"):
         raise ValueError(
             f"sharded path: unsupported graph_norm {graph_norm!r}")
+    if bn_mode not in ("batch", "running"):
+        raise ValueError(f"bn_mode must be 'batch' or 'running', "
+                         f"got {bn_mode!r}")
 
     def pairnorm(p, x, nmask):
         """PyG PairNorm(scale=1) over the ONE giant graph: the per-graph
@@ -295,10 +324,33 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         out = xc / jnp.sqrt(var + 1e-5)
         return out * p["norm"]["scale"] + p["norm"]["bias"]
 
+    def batchnorm(p, x, nmask):
+        """Masked BatchNorm1d (nn/norms.py:37, torch semantics) over the
+        ONE giant graph.  bn_mode='batch': the batch statistics are the
+        GLOBAL masked mean / biased variance (psum across shards) —
+        matches the single-device TRAIN-mode forward exactly.
+        bn_mode='running': the trained running stats (extract_params
+        batch_stats=...) — matches the single-device EVAL forward.
+        Running-stat ACCUMULATION is not threaded through the sharded
+        train step: for the one-giant-graph regime the batch statistics
+        are the population statistics, so sharded serving uses
+        bn_mode='batch'."""
+        if bn_mode == "running":
+            mean, var = p["norm_ra"]["mean"], p["norm_ra"]["var"]
+        else:
+            m = nmask[:, None].astype(x.dtype)
+            cnt = jnp.maximum(jax.lax.psum(jnp.sum(m), axis), 1.0)
+            mean = jax.lax.psum(jnp.sum(x * m, axis=0), axis) / cnt
+            xc = (x - mean) * m
+            var = jax.lax.psum(jnp.sum(xc * xc, axis=0), axis) / cnt
+        inv = jax.lax.rsqrt(var + 1e-5)
+        return (x - mean) * inv * p["norm"]["scale"] + p["norm"]["bias"]
+
     norm_fn = {"_None": lambda p, x, nmask: x,
                "_PairNorm": pairnorm,
                "_GraphSizeNorm": graphsizenorm,
-               "_LayerNorm": layernorm}[gn]
+               "_LayerNorm": layernorm,
+               "_BatchNorm": batchnorm}[gn]
 
     def _masked_seg_softmax(logits, rcv_l, emask, Nl):
         """segment_softmax over real local edges (1e-16 PyG epsilon)."""
@@ -524,7 +576,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
                          graph_act: str = "CELU", pre_act: str = "CELU",
                          flat_act: str = "CELU", residual: bool = True,
                          graph_norm: str = "_None",
-                         sort_k: int = 3, axis: str = "graph"):
+                         sort_k: int = 3, axis: str = "graph",
+                         bn_mode: str = "batch"):
     """Differentiable sharded forward over one giant graph.
 
     Returns fn(params, node_shards [D,Nl,F], edge_shards [D,El,Fe],
@@ -537,7 +590,7 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     act_flat = ACTS[flat_act.strip()]
     run_tower = _make_run_tower(message_steps, heads, conv, readout,
                                 graph_act, pre_act, residual, graph_norm,
-                                sort_k, axis)
+                                sort_k, axis, bn_mode)
 
     def tower_local(params, *arrs):
         return run_tower(params, *(a[0] for a in arrs))
@@ -559,7 +612,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     return jax.jit(forward)
 
 
-def make_sharded_pair_forward(mesh, cfg, axis: str = "graph"):
+def make_sharded_pair_forward(mesh, cfg, axis: str = "graph",
+                              bn_mode: str = "batch"):
     """Hetero-pair (DTI) forward with the PROTEIN tower sharded.
 
     The molecule graph is small (<=cfg.max_nodes): its tower runs
@@ -587,7 +641,7 @@ def make_sharded_pair_forward(mesh, cfg, axis: str = "graph"):
     run_tower = _make_run_tower(cfg.message_steps, 3, cfg.pro_block,
                                 cfg.pro_readout, cfg.graph_act,
                                 cfg.pre_act, bool(cfg.graph_res),
-                                cfg.graph_norm, 3, axis)
+                                cfg.graph_norm, 3, axis, bn_mode)
     act_flat = ACTS[cfg.flat_act.strip()]
     act_end = ACTS[cfg.end_act.strip()]
 

@@ -374,3 +374,71 @@ def test_sharded_train_step_learns():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_batchnorm_sharded_match_single_device():
+    """Sharded BatchNorm: bn_mode='batch' matches the single-device
+    TRAIN-mode forward (global masked batch statistics via psum);
+    bn_mode='running' matches the EVAL-mode forward on the running
+    averages that train pass accumulated."""
+    giant = _giant_graph(seed=7)
+    model, batch, variables = _single_device(
+        "_TripletMessage", "GlobalLAPool", giant, graph_norm="_BatchNorm")
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    inputs = [jnp.asarray(a) for a in shard_inputs(*giant, D)]
+
+    want_tr, upd = model.apply(variables, batch, False,
+                               mutable=["batch_stats"])
+    fwd_b = make_sharded_forward(mesh, message_steps=3,
+                                 graph_norm="_BatchNorm", bn_mode="batch")
+    params = extract_params(variables["params"], graph_norm="_BatchNorm")
+    got_tr = np.asarray(fwd_b(params, *inputs))
+    np.testing.assert_allclose(got_tr, np.asarray(want_tr)[0],
+                               rtol=2e-4, atol=1e-5)
+
+    stats = upd["batch_stats"]
+    want_ev = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": stats},
+        batch, True))[0]
+    fwd_r = make_sharded_forward(mesh, message_steps=3,
+                                 graph_norm="_BatchNorm",
+                                 bn_mode="running")
+    params_r = extract_params(variables["params"],
+                              graph_norm="_BatchNorm", batch_stats=stats)
+    got_ev = np.asarray(fwd_r(params_r, *inputs))
+    np.testing.assert_allclose(got_ev, want_ev, rtol=2e-4, atol=1e-5)
+
+
+def test_batchnorm_sharded_grads_match_single_device():
+    """Gradients through the batch statistics (mean/var differentiate,
+    train-mode BatchNorm) match the single-device oracle."""
+    giant = _giant_graph(seed=8)
+    model, batch, variables = _single_device(
+        "_TripletMessage", "GlobalLAPool", giant, graph_norm="_BatchNorm")
+    y = jnp.asarray([[0.3]])
+    bstats = variables["batch_stats"]
+
+    def single_loss(params):
+        out, _ = model.apply({"params": params, "batch_stats": bstats},
+                             batch, False, mutable=["batch_stats"])
+        return jnp.mean((out[0] - y[0]) ** 2)
+
+    ref = extract_params(jax.grad(single_loss)(variables["params"]),
+                         graph_norm="_BatchNorm")
+
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_forward(mesh, message_steps=3,
+                               graph_norm="_BatchNorm", bn_mode="batch")
+    params = extract_params(variables["params"], graph_norm="_BatchNorm")
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+
+    def sharded_loss(p):
+        return jnp.mean((fwd(p, *inputs) - y[0]) ** 2)
+
+    got = jax.grad(sharded_loss)(params)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
+    for (path, r), (_, g) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
