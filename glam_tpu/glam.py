@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override the sampled 30-epoch search budget")
     p.add_argument("--platform", default=None, type=str,
                    help="force trials onto a JAX platform (e.g. cpu)")
+    p.add_argument("--probe_compile", default=0.0, type=float,
+                   help="validated compile for every trial: minimum "
+                        "train-dispatch edges/s before training starts "
+                        "(0 = off); see run.py --probe_compile")
     return p
 
 
@@ -45,7 +49,7 @@ def main(argv=None):
         work_dir=args.work_dir,
         high_fidelity_epochs=args.high_fidelity_epochs,
         low_fidelity_epochs=args.low_fidelity_epochs,
-        platform=args.platform)
+        platform=args.platform, probe_compile=args.probe_compile)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver
