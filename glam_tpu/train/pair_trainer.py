@@ -134,6 +134,9 @@ class PairTrainer(Trainer):
         out, y, mean_loss = self._gather(
             "valid" if mode == "valid" else
             ("test" if self.test_loader else "valid"))
+        if mode != "inference" and not np.isfinite(out).all():
+            # diverged params (see Trainer.valid_iterations)
+            return float("inf"), {"diverged": 1.0}
         yt = y[:, 0]
         if self.task == "pair_regression":
             pred = out[:, 0]

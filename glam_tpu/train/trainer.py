@@ -486,6 +486,10 @@ class Trainer:
         out, y, mean_loss = self._gather(
             "valid" if mode == "valid" else
             ("test" if self.test_loader else "valid"))
+        if mode != "inference" and not np.isfinite(out).all():
+            # diverged params: sklearn metrics reject NaN scores — emit
+            # an inf-loss sentinel result instead of crashing the trial
+            return float("inf"), {"diverged": 1.0}
         if self.task == "regression":
             pred = out.reshape(-1)
             tgt = y[:, 0]
@@ -583,6 +587,15 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             trn_loss = self.train_iterations(rng)
             val_loss, result = self.valid_iterations()
+            if not (np.isfinite(trn_loss) and np.isfinite(val_loss)):
+                # diverged (NaN/inf params): params never recover, so
+                # stop instead of wasting the remaining epochs or
+                # feeding NaN scores to sklearn (the reference crashes
+                # here; the solver treats both as a skipped trial)
+                self.log(f"Epoch:{epoch} diverged "
+                         f"(trn_loss:{trn_loss} val_loss:{val_loss}); "
+                         "stopping training early.", with_time=True)
+                break
             lr = get_learning_rate(self.state.opt_state)
             new_lr = self.scheduler.step(val_loss, lr)
             if new_lr != lr:
@@ -793,6 +806,13 @@ class Trainer:
 
     def load_best_ckpt(self):
         path = self.log_save_dir / "best_save.ckpt"
+        if not path.exists():
+            # a run that diverged before its first finite val loss never
+            # saved a best checkpoint; keep the current params so the
+            # test phase reports the diverged sentinel cleanly
+            self.log("No best checkpoint saved (diverged run?); "
+                     "keeping current params")
+            return
         self.log(f"The best ckpt is {path}")
         self.load_ckpt(path)
 

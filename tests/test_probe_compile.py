@@ -95,3 +95,26 @@ class TestProbeCompile:
         tr2 = _make_trainer(demo_root, tmp_path / "b", floor=1.0)
         li2, _, _ = tr2.train_and_test()
         assert li1["valloss"] == pytest.approx(li2["valloss"], abs=1e-7)
+
+
+class TestDivergenceHandling:
+    def test_diverged_run_exits_cleanly(self, demo_root, tmp_path):
+        """A diverging config (lr=1e8) must stop early with a logged
+        'diverged' line and complete train_and_test WITHOUT feeding NaN
+        scores into sklearn (the reference crashes with
+        'Input contains NaN' there; the solver must see a skipped
+        trial, not a traceback)."""
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        args = {"dataset": "demo", "dataset_root": str(demo_root),
+                "loss": "bcel", "epochs": 3, "batch_size": 16,
+                "e_dim": 16, "hid_dim_alpha": 1, "message_steps": 1,
+                "lr": 1e8, "seed": 1, "scan_steps": 2}
+        args, ds, kind = auto_dataset(args)
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        loss_info, test_result, _ = tr.train_and_test()  # must not raise
+        log = (tr.log_save_dir / "log.txt").read_text()
+        assert "diverged" in log
+        assert "stopping training early" in log
+        assert test_result.get("diverged") == 1.0 or \
+            np.isfinite(loss_info["testloss"])
