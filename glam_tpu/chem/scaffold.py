@@ -22,6 +22,8 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .smiles import Mol, SmilesError, parse_smiles
+from .stereo import (double_bond_descriptors, tetrahedral_descriptors,
+                     wl_refine)
 
 
 def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
@@ -78,18 +80,7 @@ def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
 def _wl_hash(labels: Dict[int, str],
              edges: List[Tuple[int, int, int]], rounds: int = 4) -> str:
     """Weisfeiler-Lehman graph hash (canonical scaffold identity)."""
-    adj = defaultdict(list)
-    for (a, b, o) in edges:
-        adj[a].append((b, o))
-        adj[b].append((a, o))
-    cur = dict(labels)
-    for _ in range(rounds):
-        nxt = {}
-        for v, lab in cur.items():
-            neigh = sorted(f"{o}:{cur[w]}" for (w, o) in adj[v])
-            nxt[v] = hashlib.md5(
-                (lab + "|" + ";".join(neigh)).encode()).hexdigest()[:16]
-        cur = nxt
+    cur = wl_refine(labels, edges, rounds)
     multiset = ",".join(sorted(cur.values()))
     return hashlib.md5(multiset.encode()).hexdigest()
 
@@ -113,13 +104,18 @@ def molecule_key(smiles: str) -> str:
     """Canonical molecule identity key ('' if unparseable).
 
     Replaces the reference's RDKit canonical-SMILES normalization for
-    the DDI molecule store (/root/reference/src_2gi_ddi/dataset.py:118-124)
-    with a Weisfeiler-Lehman graph hash over the FULL molecule —
-    element, aromaticity, charge, H-count and isotope labels plus bond
-    orders — so two different spellings of one molecule map to one key.
-    WL refinement is not a complete isomorphism test, but with atom-level
-    labels at 4 rounds it separates all practically occurring molecular
-    graphs; size/label multisets are part of the hash by construction."""
+    the DDI molecule store (/root/reference/src_2gi_ddi/dataset.py:118-124,
+    isomericSmiles=True at src_1gp/dataset.py:154) with a
+    Weisfeiler-Lehman graph hash over the FULL molecule — element,
+    aromaticity, charge, H-count and isotope labels plus bond orders,
+    augmented with CANONICAL stereo descriptors (chem/stereo.py): a
+    spelling-invariant '@'/'@@' tag per resolvable stereocenter and a
+    cis/trans flag per configured double bond, so stereoisomers get
+    DISTINCT keys (reference isomeric-SMILES dedup semantics) while
+    respellings of one molecule still collapse.  WL refinement is not a
+    complete isomorphism test, but with atom-level labels at 4 rounds it
+    separates all practically occurring molecular graphs; size/label
+    multisets are part of the hash by construction."""
     try:
         mol = parse_smiles(smiles)
     except SmilesError:
@@ -129,6 +125,12 @@ def molecule_key(smiles: str) -> str:
             f"|{a.isotope}")
         for i, a in enumerate(mol.atoms)}
     bonds = [(b.a, b.b, b.order) for b in mol.bonds]
+    ranks = wl_refine(labels, bonds)
+    tet = tetrahedral_descriptors(mol, ranks)
+    ez = double_bond_descriptors(mol, ranks)
+    labels = {i: lab + f"|S{tet.get(i, 0)}" for i, lab in labels.items()}
+    bonds = [(b.a, b.b, f"{b.order}{ez.get(bi, '')}")
+             for bi, b in enumerate(mol.bonds)]
     return _wl_hash(labels, bonds)
 
 

@@ -55,6 +55,9 @@ _VALENCE_ELECTRONS = {
 SP, SP2, SP3, OTHER_HYB = 1, 2, 3, 0
 
 
+CHIRAL_NONE, CHIRAL_CCW, CHIRAL_CW = 0, 1, 2  # none / '@' / '@@'
+
+
 @dataclass
 class Atom:
     symbol: str                 # element symbol, e.g. 'Cl'
@@ -64,6 +67,15 @@ class Atom:
     isotope: int = 0
     in_bracket: bool = False
     bonds: List[int] = field(default_factory=list)   # bond indices
+    # tetrahedral stereo: '@' = CHIRAL_CCW, '@@' = CHIRAL_CW, interpreted
+    # against the AS-WRITTEN neighbor order below (Daylight semantics);
+    # canonicalization lives in chem/stereo.py.  Features stay
+    # stereo-free (the reference's 15-dim layout has no stereo columns,
+    # src_1gp/dataset.py:60-97); only identity keys consume these.
+    chiral: int = CHIRAL_NONE
+    written_nbrs: List[int] = field(default_factory=list)
+    first_nbr_is_prev: bool = False    # True if written_nbrs[0] is the
+    #                                    preceding atom (H-insert rule)
     # filled by finalize():
     num_h: int = 0
     hybridization: int = OTHER_HYB
@@ -79,6 +91,10 @@ class Bond:
     a: int
     b: int
     order: int  # SINGLE/DOUBLE/TRIPLE/AROMATIC
+    # directional single bond ('/' = +1, '\' = -1, none = 0), oriented
+    # as written FROM a TO b: +1 means the bond ascends a -> b.  Used
+    # only for double-bond cis/trans identity (chem/stereo.py).
+    direction: int = 0
 
     def other(self, i: int) -> int:
         return self.b if i == self.a else self.a
@@ -139,8 +155,15 @@ def _parse_bracket(body: str) -> Atom:
         charge = -int(ch[1:]) if ch[1:].isdigit() else -len(ch)
     else:
         charge = 0
+    chi = m.group("chiral") or ""
+    if chi.startswith("@@") or chi in ("@TH2",):
+        chiral = CHIRAL_CW
+    elif chi in ("@", "@TH1"):
+        chiral = CHIRAL_CCW
+    else:
+        chiral = CHIRAL_NONE  # @AL/@SP/@TB/@OH classes unsupported
     return Atom(symbol=sym if sym != "*" else "*", aromatic=aromatic,
-                charge=charge, explicit_h=explicit_h,
+                charge=charge, explicit_h=explicit_h, chiral=chiral,
                 isotope=int(m.group("iso") or 0), in_bracket=True)
 
 
@@ -152,24 +175,29 @@ def parse_smiles(smiles: str) -> Mol:
     mol = Mol()
     prev: Optional[int] = None
     pending_bond: Optional[int] = None
+    pending_dir: int = 0
     stack: List[Tuple[Optional[int], Optional[int]]] = []
-    rings: Dict[int, Tuple[int, Optional[int]]] = {}
+    rings: Dict[int, Tuple[int, Optional[int], int, int]] = {}
     i, n = 0, len(smiles)
 
     def add_atom(atom: Atom) -> int:
         mol.atoms.append(atom)
         return len(mol.atoms) - 1
 
-    def add_bond(a: int, b: int, order: Optional[int]) -> None:
+    def add_bond(a: int, b: int, order: Optional[int],
+                 direction: int = 0) -> None:
         if order is None:
             if mol.atoms[a].aromatic and mol.atoms[b].aromatic:
                 order = AROMATIC
             else:
                 order = SINGLE
         bi = len(mol.bonds)
-        mol.bonds.append(Bond(a, b, order))
+        mol.bonds.append(Bond(a, b, order, direction=direction))
         mol.atoms[a].bonds.append(bi)
         mol.atoms[b].bonds.append(bi)
+        # as-written neighbor order (tetrahedral stereo interpretation)
+        mol.atoms[a].written_nbrs.append(b)
+        mol.atoms[b].written_nbrs.append(a)
 
     while i < n:
         c = smiles[i]
@@ -179,8 +207,9 @@ def parse_smiles(smiles: str) -> Mol:
                 raise SmilesError("unclosed bracket")
             idx = add_atom(_parse_bracket(smiles[i + 1:j]))
             if prev is not None:
-                add_bond(prev, idx, pending_bond)
-            prev, pending_bond = idx, None
+                add_bond(prev, idx, pending_bond, pending_dir)
+                mol.atoms[idx].first_nbr_is_prev = True
+            prev, pending_bond, pending_dir = idx, None, 0
             i = j + 1
         elif c.isalpha() or c == "*":
             # outside brackets only the ORGANIC SUBSET may appear bare:
@@ -203,10 +232,12 @@ def parse_smiles(smiles: str) -> Mol:
                 i += 1
             idx = add_atom(atom)
             if prev is not None:
-                add_bond(prev, idx, pending_bond)
-            prev, pending_bond = idx, None
+                add_bond(prev, idx, pending_bond, pending_dir)
+                mol.atoms[idx].first_nbr_is_prev = True
+            prev, pending_bond, pending_dir = idx, None, 0
         elif c in _BOND_CHARS:
             pending_bond = _BOND_CHARS[c]
+            pending_dir = {"/": 1, "\\": -1}.get(c, 0)
             if pending_bond == 4 and c == "$":
                 pending_bond = TRIPLE  # quadruple unsupported; approximate
             i += 1
@@ -218,26 +249,36 @@ def parse_smiles(smiles: str) -> Mol:
             if prev is None:
                 raise SmilesError("ring bond with no previous atom")
             if num in rings:
-                a, order0 = rings.pop(num)
+                a, order0, dir0, slot = rings.pop(num)
                 order = pending_bond if pending_bond is not None else order0
+                # a direction symbol at the CLOSING digit is oriented
+                # closer -> opener; flip to the stored opener -> closer
+                direction = dir0 if dir0 else -pending_dir
                 if a == prev:
                     raise SmilesError("self ring bond")
-                add_bond(a, prev, order)
+                add_bond(a, prev, order, direction)
+                # the ring bond occupies the opener's neighbor list at
+                # the position of its OPENING digit, not at close time
+                wl = mol.atoms[a].written_nbrs
+                wl.pop()  # remove the append add_bond just did
+                wl[slot] = prev
             else:
-                rings[num] = (prev, pending_bond)
-            pending_bond = None
+                mol.atoms[prev].written_nbrs.append(-2 - num)  # placeholder
+                rings[num] = (prev, pending_bond, pending_dir,
+                              len(mol.atoms[prev].written_nbrs) - 1)
+            pending_bond, pending_dir = None, 0
         elif c == "(":
             stack.append((prev, pending_bond))
-            pending_bond = None
+            pending_bond, pending_dir = None, 0
             i += 1
         elif c == ")":
             if not stack:
                 raise SmilesError("unbalanced ')'")
             prev, _ = stack.pop()
-            pending_bond = None
+            pending_bond, pending_dir = None, 0
             i += 1
         elif c == ".":
-            prev, pending_bond = None, None
+            prev, pending_bond, pending_dir = None, None, 0
             i += 1
         elif c in " \t":
             break

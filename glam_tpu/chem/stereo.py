@@ -1,0 +1,150 @@
+"""Canonical (spelling-invariant) stereo descriptors for molecule identity.
+
+The reference dedups molecules via RDKit canonical SMILES with
+``isomericSmiles=True`` (/root/reference/src_1gp/dataset.py:154,
+src_2gi_dti_scr/dataset.py:162,192; the DDI store normalization at
+src_2gi_ddi/dataset.py:118-124), so stereoisomers are DISTINCT
+identities.  Features stay stereo-free (the 15-dim layout has no stereo
+columns, src_1gp/dataset.py:60-97) and the scaffold split ignores
+chirality (``includeChirality=False``, src_1gp/utils.py:31-39) — only
+:func:`glam_tpu.chem.scaffold.molecule_key` consumes these descriptors.
+
+A SMILES chiral tag ('@'/'@@') is defined relative to the AS-WRITTEN
+neighbor order, so the raw tag is not spelling-invariant: swapping two
+neighbors in the writing flips it.  Canonicalization re-expresses each
+tag relative to a canonical neighbor order (sorted by Weisfeiler-Lehman
+refined labels): permutation parity between the written and canonical
+orders decides whether the tag flips.  Likewise '/'+'\\' directional
+bonds are re-expressed as a cis/trans flag for the highest-ranked
+substituent pair across each double bond.
+
+Limitations (documented, shared with one-pass canonical ranking):
+stereocenters whose neighbors are WL-equivalent (meso-style local
+symmetry, or stereo-dependent ranks) yield no descriptor and fall back
+to the stereo-free identity.
+"""
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from typing import Dict, List, Tuple
+
+from .smiles import CHIRAL_NONE, DOUBLE, SINGLE, Mol
+
+
+def wl_refine(labels: Dict[int, str],
+              edges: List[Tuple[int, int, object]],
+              rounds: int = 4) -> Dict[int, str]:
+    """Weisfeiler-Lehman label refinement (the loop _wl_hash runs, made
+    reusable so stereo ranking and hashing share one definition)."""
+    adj = defaultdict(list)
+    for (a, b, o) in edges:
+        adj[a].append((b, o))
+        adj[b].append((a, o))
+    cur = dict(labels)
+    for _ in range(rounds):
+        nxt = {}
+        for v, lab in cur.items():
+            neigh = sorted(f"{o}:{cur[w]}" for (w, o) in adj[v])
+            nxt[v] = hashlib.md5(
+                (lab + "|" + ";".join(neigh)).encode()).hexdigest()[:16]
+        cur = nxt
+    return cur
+
+
+def _parity(keys: List[str]) -> int:
+    """Parity (0 even / 1 odd) of the permutation sorting ``keys``."""
+    inv = 0
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if keys[i] > keys[j]:
+                inv += 1
+    return inv & 1
+
+
+def tetrahedral_descriptors(mol: Mol,
+                            ranks: Dict[int, str]) -> Dict[int, int]:
+    """Canonical chiral tag per stereocenter: {atom index: 1 or 2}.
+
+    1/2 correspond to '@'/'@@' re-expressed against neighbors sorted by
+    WL rank (implicit H ranks as '~H', a 3-neighbor lone pair as '~LP',
+    both sorting before any md5 rank).  Atoms whose neighbors are not
+    all WL-distinct are skipped.
+    """
+    out: Dict[int, int] = {}
+    for i, atom in enumerate(mol.atoms):
+        if atom.chiral == CHIRAL_NONE:
+            continue
+        order = list(atom.written_nbrs)
+        if any(x < -1 for x in order):  # unresolved ring placeholder
+            continue
+        nh = atom.explicit_h or 0
+        if nh > 1:
+            continue
+        if nh == 1:
+            # Daylight: the implicit H occupies the position right after
+            # the preceding atom, or first if the atom opens the SMILES
+            order.insert(1 if atom.first_nbr_is_prev else 0, -1)
+        if len(order) == 3:
+            order.append(-9)  # lone pair acts as the 4th, lowest neighbor
+        if len(order) != 4:
+            continue
+        keys = [("~H" if x == -1 else "~LP") if x < 0 else ranks[x]
+                for x in order]
+        if len(set(keys)) != 4:
+            continue  # locally symmetric: no canonical descriptor
+        tag = atom.chiral if _parity(keys) == 0 else (3 - atom.chiral)
+        out[i] = tag
+    return out
+
+
+def double_bond_descriptors(mol: Mol,
+                            ranks: Dict[int, str]) -> Dict[int, str]:
+    """Canonical cis/trans flag per configured double bond:
+    {bond index: 'c' | 't'} for the highest-WL-ranked substituent pair.
+    """
+    out: Dict[int, str] = {}
+    for bi, b in enumerate(mol.bonds):
+        if b.order != DOUBLE:
+            continue
+
+        def side(center: int, away: int):
+            """(best substituent, its direction sign INTO the axis,
+            ok) for one side of the double bond.  Direction sign of a
+            substituent bond x-center is normalized to 'ascending from
+            x to center'; the two substituents of one sp2 center always
+            carry opposite signs."""
+            subs = []       # (rank, atom, dir ascending sub -> center)
+            for bj in mol.atoms[center].bonds:
+                nb = mol.bonds[bj]
+                x = nb.other(center)
+                if x == away and nb.order == DOUBLE:
+                    continue
+                if nb.order != SINGLE:
+                    return None  # other multiple bond: not a C=C stereo
+                d = nb.direction
+                if d != 0:
+                    d = d if nb.b == center else -d
+                subs.append((ranks[x], x, d))
+            if not (1 <= len(subs) <= 2):
+                return None
+            if len(subs) == 2 and subs[0][0] == subs[1][0]:
+                return None  # symmetric side: not stereogenic
+            configured = [s for s in subs if s[2] != 0]
+            if not configured:
+                return None  # no directional bond on this side
+            best = max(subs)
+            d0 = configured[0][2]
+            # the OTHER substituent of the same center sits on the
+            # opposite side: flip if the directional bond isn't best's
+            d_best = d0 if best[1] == configured[0][1] else -d0
+            return best[1], d_best
+
+        sa = side(b.a, b.b)
+        sb = side(b.b, b.a)
+        if sa is None or sb is None:
+            continue
+        # trans iff dir(x -> a) == dir(b -> y); side() yields dir INTO
+        # the center on both sides, so flip one sign
+        out[bi] = "t" if sa[1] == -sb[1] else "c"
+    return out

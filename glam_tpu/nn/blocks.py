@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .activations import get_activation
+from .cells import gru_cell
 from .convs import NO_GRU_CONVS, get_conv
 from .init import rnn_uniform, torch_linear_bias, torch_linear_kernel
 from .norms import get_norm
@@ -75,18 +76,13 @@ class GRUCell(nn.Module):
     def __call__(self, x, h):
         H = self.hidden
         init = rnn_uniform(H)
-        w_ih = self.param("w_ih", init, (self.in_dim, 3 * H))
-        w_hh = self.param("w_hh", init, (H, 3 * H))
-        b_ih = self.param("b_ih", init, (3 * H,))
-        b_hh = self.param("b_hh", init, (3 * H,))
-        gi = x @ w_ih + b_ih
-        gh = h @ w_hh + b_hh
-        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(i_r + h_r)
-        z = jax.nn.sigmoid(i_z + h_z)
-        n = jnp.tanh(i_n + r * h_n)
-        return (1.0 - z) * n + z * h
+        params = {
+            "w_ih": self.param("w_ih", init, (self.in_dim, 3 * H)),
+            "w_hh": self.param("w_hh", init, (H, 3 * H)),
+            "b_ih": self.param("b_ih", init, (3 * H,)),
+            "b_hh": self.param("b_hh", init, (3 * H,)),
+        }
+        return gru_cell(params, x, h)
 
 
 class MessageBlock(nn.Module):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.segment import (segment_count, segment_softmax, segment_sum,
                            segment_topk_by_channel)
+from .cells import lstm_cell
 from .init import rnn_uniform, torch_linear_bias, torch_linear_kernel
 
 
@@ -73,25 +74,17 @@ class Set2Set(nn.Module):
         C = self.channels
         G = n_node.shape[0]
         init = rnn_uniform(C)
-        w_ih = self.param("lstm_w_ih", init, (2 * C, 4 * C))
-        w_hh = self.param("lstm_w_hh", init, (C, 4 * C))
-        b_ih = self.param("lstm_b_ih", init, (4 * C,))
-        b_hh = self.param("lstm_b_hh", init, (4 * C,))
-
-        def lstm_cell(inp, h, c):
-            z = inp @ w_ih + b_ih + h @ w_hh + b_hh
-            i, f, g, o = jnp.split(z, 4, axis=-1)
-            i, f, o = (jax.nn.sigmoid(v) for v in (i, f, o))
-            g = jnp.tanh(g)
-            c2 = f * c + i * g
-            h2 = o * jnp.tanh(c2)
-            return h2, c2
-
+        lstm_params = {
+            "w_ih": self.param("lstm_w_ih", init, (2 * C, 4 * C)),
+            "w_hh": self.param("lstm_w_hh", init, (C, 4 * C)),
+            "b_ih": self.param("lstm_b_ih", init, (4 * C,)),
+            "b_hh": self.param("lstm_b_hh", init, (4 * C,)),
+        }
         q_star = jnp.zeros((G, 2 * C), x.dtype)
         h = jnp.zeros((G, C), x.dtype)
         c = jnp.zeros((G, C), x.dtype)
         for _ in range(self.processing_steps):
-            q, c = lstm_cell(q_star, h, c)
+            q, c = lstm_cell(lstm_params, q_star, h, c)
             h = q
             e = jnp.sum(x * q[node_graph], axis=-1)          # [N]
             a = segment_softmax(e, node_graph, G)

@@ -47,37 +47,19 @@ from jax.sharding import PartitionSpec as P
 
 from .graph_partition import build_halo_exchange, split_large_graph
 
-from ..nn.activations import RRELU_LOWER, RRELU_UPPER
+# ONE definition site for the cell/activation math shared with the flax
+# layer library (nn/blocks.py GRUCell, nn/readouts.py Set2Set): the
+# sharded tower cannot silently drift from the single-device twin.
+from ..nn.activations import get_activation
+from ..nn.cells import gru_cell as _gru
+from ..nn.cells import lstm_cell as _lstm
 from ..nn.convs import NO_GRU_CONVS
 
-ACTS = {
-    "CELU": lambda x: jnp.where(x >= 0, x, jnp.expm1(x)),
-    "ReLU": lambda x: jnp.maximum(x, 0.0),
-    "LeakyReLU": lambda x: jnp.where(x >= 0, x, 0.01 * x),
-    # deterministic (eval-mode) RReLU: mean slope, activations.py parity
-    "RReLU": lambda x: jnp.where(
-        x >= 0, x, x * ((RRELU_LOWER + RRELU_UPPER) / 2.0)),
-    "_None": lambda x: x,
-}
 
-
-def _gru(p: Dict, x, h):
-    gi = x @ p["w_ih"] + p["b_ih"]
-    gh = h @ p["w_hh"] + p["b_hh"]
-    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
-    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
-    r = jax.nn.sigmoid(i_r + h_r)
-    z = jax.nn.sigmoid(i_z + h_z)
-    n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
-
-
-def _lstm(p: Dict, inp, h, c):
-    z = inp @ p["w_ih"] + p["b_ih"] + h @ p["w_hh"] + p["b_hh"]
-    i, f, g, o = jnp.split(z, 4, axis=-1)
-    i, f, o = (jax.nn.sigmoid(v) for v in (i, f, o))
-    c2 = f * c + i * jnp.tanh(g)
-    return o * jnp.tanh(c2), c2
+def _act(name: str):
+    """Deterministic (eval-mode) activation from the shared registry."""
+    fn = get_activation(name)
+    return lambda x: fn(x, deterministic=True)
 
 
 def _extract_tower(mol: Dict, conv: str, readout: str,
@@ -281,8 +263,8 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
     ``run_tower(params, *local_arrays, fusion=None)`` -> pooled vector
     (replicated via psum), plus per-step fusion stats when ``fusion``
     = (xs1 [S,Nm,C], mol_mask [Nm]) is given (the pair model)."""
-    act_g = ACTS[graph_act.strip()]
-    act_pre = ACTS[pre_act.strip()]
+    act_g = _act(graph_act)
+    act_pre = _act(pre_act)
     conv_key = conv.strip()
     use_gru = conv_key not in NO_GRU_CONVS
     gn = graph_norm.strip()
@@ -366,7 +348,7 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         """MessageBlock tail (nn/blocks.py): [celu -> GRU] -> residual
         -> act; the residual adds the PRE-norm x_local."""
         if use_gru:
-            y = ACTS["CELU"](y)
+            y = _act("CELU")(y)
             y = _gru(p["gru"], y, h_prev)
             h_new = y
         else:
@@ -587,7 +569,7 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     ``send_idx`` come from :func:`shard_inputs`; edge_norm/self_norm are
     the host-precomputed GCN symmetric normalization (ignored for
     TripletMessage)."""
-    act_flat = ACTS[flat_act.strip()]
+    act_flat = _act(flat_act)
     run_tower = _make_run_tower(message_steps, heads, conv, readout,
                                 graph_act, pre_act, residual, graph_norm,
                                 sort_k, axis, bn_mode)
@@ -642,8 +624,8 @@ def make_sharded_pair_forward(mesh, cfg, axis: str = "graph",
                                 cfg.pro_readout, cfg.graph_act,
                                 cfg.pre_act, bool(cfg.graph_res),
                                 cfg.graph_norm, 3, axis, bn_mode)
-    act_flat = ACTS[cfg.flat_act.strip()]
-    act_end = ACTS[cfg.end_act.strip()]
+    act_flat = _act(cfg.flat_act)
+    act_end = _act(cfg.end_act)
 
     def pair_tower_local(params, xs1, mol_mask, *arrs):
         return run_tower(params, *(a[0] for a in arrs),

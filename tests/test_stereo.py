@@ -1,0 +1,124 @@
+"""Stereo-aware molecule identity (VERDICT r2 item 3).
+
+The reference dedups molecules by RDKit canonical SMILES with
+isomericSmiles=True (src_1gp/dataset.py:154, src_2gi_ddi/dataset.py:
+118-124), so stereoisomers are distinct identities while respellings of
+one molecule collapse.  Scaffold identity ignores chirality
+(includeChirality=False, src_1gp/utils.py:31-39).
+"""
+import numpy as np
+
+from glam_tpu.chem.featurize import smiles_to_arrays
+from glam_tpu.chem.scaffold import molecule_key, scaffold_key
+from glam_tpu.chem.smiles import parse_smiles
+from glam_tpu.chem.stereo import (double_bond_descriptors,
+                                  tetrahedral_descriptors, wl_refine)
+
+
+def _keys(*smis):
+    out = [molecule_key(s) for s in smis]
+    assert all(out), out
+    return out
+
+
+class TestTetrahedral:
+    def test_enantiomers_distinct(self):
+        a, b = _keys("N[C@@H](C)C(=O)O", "N[C@H](C)C(=O)O")
+        assert a != b
+
+    def test_stereo_vs_flat_distinct(self):
+        a, b = _keys("N[C@@H](C)C(=O)O", "NC(C)C(=O)O")
+        assert a != b
+
+    def test_respelling_h_first(self):
+        # swapping the first two written neighbors flips the tag
+        a, b = _keys("C[C@H](N)C(=O)O", "[C@@H](C)(N)C(=O)O")
+        assert a == b
+
+    def test_respelling_branch_order(self):
+        a, b = _keys("N[C@@H](C)C(=O)O", "N[C@H](C(=O)O)C")
+        assert a == b
+
+    def test_ring_closure_slot(self):
+        # the ring bond occupies the neighbor slot of its OPENING digit
+        same = _keys("C[C@H]1CCCO1", "C[C@@H]1OCCC1")
+        assert same[0] == same[1]
+        ent = molecule_key("C[C@@H]1CCCO1")
+        assert ent != same[0]
+
+    def test_three_neighbor_lone_pair(self):
+        # sulfoxide chirality: lone pair is the phantom 4th neighbor
+        a, b = _keys("C[S@](=O)c1ccccc1", "C[S@@](=O)c1ccccc1")
+        assert a != b
+
+    def test_symmetric_center_ignored(self):
+        # two WL-identical neighbors: '@' carries no information
+        a, b = _keys("C[C@H](C)O", "CC(C)O")
+        assert a == b
+
+    def test_features_stereo_free(self):
+        # the 15-dim layout has no stereo columns (src_1gp/dataset.py)
+        for flat, iso in [("NC(C)C(=O)O", "N[C@@H](C)C(=O)O"),
+                          ("FC=CF", "F/C=C/F")]:
+            fa = smiles_to_arrays(flat)
+            fb = smiles_to_arrays(iso)
+            for x, y in zip(fa, fb):
+                np.testing.assert_array_equal(x, y)
+
+
+class TestDoubleBond:
+    def test_cis_trans_distinct(self):
+        a, b = _keys("F/C=C/F", "F/C=C\\F")
+        assert a != b
+
+    def test_configured_vs_flat_distinct(self):
+        a, b = _keys("F/C=C/F", "FC=CF")
+        assert a != b
+
+    def test_slash_flip_invariance(self):
+        a, b = _keys("F/C=C/F", "F\\C=C\\F")
+        assert a == b
+
+    def test_butene(self):
+        t, c = _keys("C/C=C/C", "C/C=C\\C")
+        assert t != c
+
+    def test_direction_on_far_substituent(self):
+        # config spelled on the OTHER substituent of the sp2 carbon:
+        # C(/F)=... flips the side relative to /C(F)=
+        a, b = _keys("C/C(F)=C/C", "C(\\C)(/F)=C/C")
+        assert a == b
+
+    def test_symmetric_side_ignored(self):
+        # both substituents on one side identical: not stereogenic
+        a, b = _keys("C/C(C)=C/F", "CC(C)=CF")
+        assert a == b
+
+
+class TestScaffoldStereoFree:
+    def test_scaffold_ignores_chirality(self):
+        s1 = scaffold_key("N[C@@H](C)C1CCCCC1")
+        s2 = scaffold_key("N[C@H](C)C1CCCCC1")
+        assert s1 == s2 != ""
+
+
+class TestSpellingInvarianceStillHolds:
+    def test_nonstereo_collapse(self):
+        for a, b in [("CCO", "OCC"), ("c1ccccc1", "C1=CC=CC=C1"),
+                     ("C1=CC=CN1", "c1cc[nH]c1")]:
+            ka, kb = _keys(a, b)
+            assert ka == kb, (a, b)
+
+    def test_corpus_smoke(self):
+        # stereo-bearing drugs parse and key without error
+        drugs = [
+            "C[C@@H](CS)C(=O)N1CCC[C@H]1C(=O)O",                # captopril
+            "CC(C)C[C@H](NC(=O)[C@@H](N)Cc1ccccc1)C(=O)O",      # dipeptide
+            "C/C=C/C=C/C(=O)O",                                  # sorbic acid
+            "OC(=O)/C=C\\C(=O)O",                                # maleic
+            "OC(=O)/C=C/C(=O)O",                                 # fumaric
+        ]
+        keys = _keys(*drugs)
+        assert len(set(keys)) == len(keys)
+        # maleic != fumaric is exactly the cis/trans split
+        assert keys[3] != keys[4]
