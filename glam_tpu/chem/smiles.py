@@ -296,13 +296,15 @@ def parse_smiles(smiles: str) -> Mol:
 # Post-parse perception: rings, aromaticity, implicit Hs, hybridization.
 # --------------------------------------------------------------------------
 
-def _ring_bonds(mol: Mol) -> List[List[int]]:
-    """Return candidate simple rings (atom-index lists) of size 3..8.
+def _ring_bonds(mol: Mol, max_size: int = 8) -> List[List[int]]:
+    """Return candidate simple rings (atom-index lists) of size 3..max_size.
 
     BFS spanning tree per component; each non-tree edge (v, w) closes the
     fundamental cycle v..lca(v,w)..w.  Fundamental cycles of a BFS tree are
     near-minimal, which covers the SSSR-style rings aromaticity perception
-    needs (benzene, 5-rings, fused 6-6 systems)."""
+    needs (benzene, 5-rings, fused 6-6 systems).  Aromaticity perception
+    passes max_size=12 so the azulene-class fused pass sees either member
+    of a 5-7 pair even when BFS yields the 10-periphery instead."""
     n = mol.num_atoms()
     adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
     for bi, b in enumerate(mol.bonds):
@@ -343,7 +345,7 @@ def _ring_bonds(mol: Mol) -> List[List[int]]:
                 b = parent[b]
                 pw.append(b)
         cycle = pv + pw[-2::-1]  # v..lca + (w..just-below-lca reversed)
-        if 3 <= len(cycle) <= 8:
+        if 3 <= len(cycle) <= max_size:
             key = frozenset(cycle)
             if key not in seen:
                 seen.add(key)
@@ -362,7 +364,8 @@ def _perceive_aromaticity(mol: Mol) -> None:
     pyridine, pyrrole, furan, thiophene, imidazole and fused 6-rings; it
     will not find every exotic aromatic system (neither does it need to —
     datasets overwhelmingly use aromatic-form SMILES)."""
-    rings = _ring_bonds(mol)
+    all_cycles = _ring_bonds(mol, max_size=12)
+    rings = [r for r in all_cycles if len(r) <= 8]
     for r in rings:
         for a in r:
             mol.atoms[a].in_ring = True
@@ -418,6 +421,61 @@ def _perceive_aromaticity(mol: Mol) -> None:
                         changed = True
                 for a in r:
                     mol.atoms[a].aromatic = True
+        # fused-system pass (azulene-class, RDKit parity): per-ring
+        # Hückel misses systems whose 4n+2 count only holds over the
+        # FUSED pair (azulene = 5+7 rings, 10 pi electrons; heptalene's
+        # 12 and pentalene's 8 correctly fail).  Count pi over the atom
+        # union of each bond-sharing ring pair; on 4n+2 with every
+        # member sp2-capable, the whole system incl. the fusion bond
+        # becomes aromatic.
+        for i1 in range(len(all_cycles)):
+            for i2 in range(i1 + 1, len(all_cycles)):
+                r1, r2 = all_cycles[i1], all_cycles[i2]
+                if len(set(r1) & set(r2)) < 2:
+                    continue  # no shared bond: not a fused pair
+                union = list(dict.fromkeys(r1 + r2))
+                if len(union) > 10:
+                    continue  # conservative: target the azulene class
+                in_union = set(union)
+                rb = set(ring_bond_ids(r1)) | set(ring_bond_ids(r2))
+                if all(mol.bonds[bi].order == AROMATIC for bi in rb):
+                    continue
+                pi = 0
+                ok = True
+                for a in union:
+                    atom = mol.atoms[a]
+                    orders = [mol.bonds[bi].order for bi in atom.bonds]
+                    n_double = sum(1 for o in orders if o == DOUBLE)
+                    n_triple = sum(1 for o in orders if o == TRIPLE)
+                    n_arom = sum(1 for o in orders if o == AROMATIC)
+                    if n_triple or atom.symbol not in ("C", "N", "O",
+                                                       "S", "P", "B"):
+                        ok = False
+                        break
+                    has_sys_double = any(
+                        mol.bonds[bi].order == DOUBLE
+                        and mol.bonds[bi].other(a) in in_union
+                        for bi in atom.bonds)
+                    exo_double = n_double > 0 and not has_sys_double
+                    if has_sys_double or n_arom:
+                        pi += 1
+                    elif exo_double:
+                        pi += 0  # carbonyl-style sp2: no system pi e-
+                    elif atom.symbol in _PI_DONORS:
+                        pi += 2
+                    elif atom.symbol == "C" and atom.charge == -1:
+                        pi += 2
+                    elif atom.symbol in ("C", "B") and atom.charge >= 0 \
+                            and n_double == 0:
+                        ok = False  # sp3 carbon in the system
+                        break
+                if ok and pi % 4 == 2:
+                    for bi in rb:
+                        if mol.bonds[bi].order != AROMATIC:
+                            mol.bonds[bi].order = AROMATIC
+                            changed = True
+                    for a in union:
+                        mol.atoms[a].aromatic = True
 
 
 def _implicit_h(atom: Atom, bond_order_sum: float) -> int:

@@ -182,7 +182,8 @@ void add_bond(Mol& mol, int a, int b, int order) {
 
 // ---- ring perception + aromaticity (mirrors smiles.py) ----------------
 
-std::vector<std::vector<int>> find_rings(const Mol& mol) {
+std::vector<std::vector<int>> find_rings(const Mol& mol,
+                                         int max_size = 8) {
   int n = (int)mol.atoms.size();
   std::vector<std::vector<std::pair<int, int>>> adj(n);
   for (int bi = 0; bi < (int)mol.bonds.size(); bi++) {
@@ -229,7 +230,7 @@ std::vector<std::vector<int>> find_rings(const Mol& mol) {
     }
     std::vector<int> cycle(pv);
     for (int k = (int)pw.size() - 2; k >= 0; k--) cycle.push_back(pw[k]);
-    if (cycle.size() >= 3 && cycle.size() <= 8) {
+    if ((int)cycle.size() >= 3 && (int)cycle.size() <= max_size) {
       std::set<int> key(cycle.begin(), cycle.end());
       if (!seen.count(key)) {
         seen.insert(key);
@@ -241,7 +242,12 @@ std::vector<std::vector<int>> find_rings(const Mol& mol) {
 }
 
 void perceive_aromaticity(Mol& mol) {
-  auto rings = find_rings(mol);
+  // max_size=12 so the azulene-class fused pass sees either member of a
+  // 5-7 pair even when BFS yields the 10-periphery (mirrors smiles.py)
+  auto all_cycles = find_rings(mol, 12);
+  std::vector<std::vector<int>> rings;
+  for (auto& r : all_cycles)
+    if (r.size() <= 8) rings.push_back(r);
   std::map<std::pair<int, int>, int> bond_idx;
   for (int bi = 0; bi < (int)mol.bonds.size(); bi++) {
     bond_idx[{mol.bonds[bi].a, mol.bonds[bi].b}] = bi;
@@ -308,6 +314,83 @@ void perceive_aromaticity(Mol& mol) {
           }
         }
         for (int a : r) mol.atoms[a].aromatic = true;
+      }
+    }
+    // fused-system pass (azulene-class, mirrors smiles.py): per-ring
+    // Hueckel misses systems whose 4n+2 count only holds over the FUSED
+    // pair (azulene = 5+7 rings, 10 pi); pentalene (8) and heptalene
+    // (12) correctly fail the mod-4 test.
+    for (size_t i1 = 0; i1 < all_cycles.size(); i1++) {
+      for (size_t i2 = i1 + 1; i2 < all_cycles.size(); i2++) {
+        auto& r1 = all_cycles[i1];
+        auto& r2 = all_cycles[i2];
+        std::set<int> s1(r1.begin(), r1.end());
+        int shared = 0;
+        for (int a : r2) shared += s1.count(a);
+        if (shared < 2) continue;  // no shared bond: not fused
+        std::vector<int> uni(r1);
+        std::set<int> in_union(r1.begin(), r1.end());
+        for (int a : r2)
+          if (in_union.insert(a).second) uni.push_back(a);
+        if (uni.size() > 10) continue;  // conservative: azulene class
+        std::set<int> rb;
+        for (size_t k = 0; k < r1.size(); k++)
+          rb.insert(bond_idx[{r1[k], r1[(k + 1) % r1.size()]}]);
+        for (size_t k = 0; k < r2.size(); k++)
+          rb.insert(bond_idx[{r2[k], r2[(k + 1) % r2.size()]}]);
+        bool all_arom = true;
+        for (int bi : rb)
+          if (mol.bonds[bi].order != AROMATIC) all_arom = false;
+        if (all_arom) continue;
+        int pi = 0;
+        bool ok = true;
+        for (int a : uni) {
+          auto& atom = mol.atoms[a];
+          int n_double = 0, n_triple = 0, n_arom = 0;
+          bool has_sys_double = false;
+          for (int bi : atom.bonds) {
+            int o = mol.bonds[bi].order;
+            if (o == DOUBLE) {
+              n_double++;
+              int other = mol.bonds[bi].a == a ? mol.bonds[bi].b
+                                               : mol.bonds[bi].a;
+              if (in_union.count(other)) has_sys_double = true;
+            } else if (o == TRIPLE) {
+              n_triple++;
+            } else if (o == AROMATIC) {
+              n_arom++;
+            }
+          }
+          static const std::set<std::string> allowed = {"C", "N", "O",
+                                                        "S", "P", "B"};
+          if (n_triple || !allowed.count(atom.symbol)) {
+            ok = false;
+            break;
+          }
+          bool exo_double = n_double > 0 && !has_sys_double;
+          if (has_sys_double || n_arom) {
+            pi += 1;
+          } else if (exo_double) {
+            // carbonyl-style sp2: contributes no system pi electrons
+          } else if (pi_donors.count(atom.symbol)) {
+            pi += 2;
+          } else if (atom.symbol == "C" && atom.charge == -1) {
+            pi += 2;
+          } else if ((atom.symbol == "C" || atom.symbol == "B") &&
+                     atom.charge >= 0 && n_double == 0) {
+            ok = false;
+            break;
+          }
+        }
+        if (ok && pi % 4 == 2) {
+          for (int bi : rb) {
+            if (mol.bonds[bi].order != AROMATIC) {
+              mol.bonds[bi].order = AROMATIC;
+              changed = true;
+            }
+          }
+          for (int a : uni) mol.atoms[a].aromatic = true;
+        }
       }
     }
   }

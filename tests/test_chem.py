@@ -61,6 +61,38 @@ class TestParser:
         assert not is_valid_smiles("")
 
 
+class TestFusedAromaticity:
+    """Azulene-class perception: per-ring Hueckel fails (5- and 7-rings
+    alone are not 4n+2) but the fused system has 10 pi electrons.
+    RDKit (the reference's parser, src_1gp/dataset.py:128) perceives
+    these; pentalene (8 pi) and heptalene (12 pi) correctly do not
+    qualify."""
+
+    def test_azulene_kekule_fully_aromatic(self):
+        m = parse_smiles("C1=CC2=CC=CC=CC2=C1")
+        assert all(a.aromatic for a in m.atoms)
+        assert all(b.order == 4 for b in m.bonds)  # incl. the fusion bond
+
+    def test_azulene_spellings_same_key(self):
+        from glam_tpu.chem.scaffold import molecule_key
+        k1 = molecule_key("C1=CC2=CC=CC=CC2=C1")
+        k2 = molecule_key("c1ccc2cccc2cc1")
+        assert k1 == k2 != ""
+
+    def test_pentalene_not_aromatic(self):
+        m = parse_smiles("C1=CC2=CC=CC12")
+        assert not any(a.aromatic for a in m.atoms)
+
+    def test_indene_sp3_blocks_fused_pass(self):
+        m = parse_smiles("C1Cc2ccccc21")
+        # benzene ring aromatic, the CH2-bearing 5-ring is not
+        assert sum(a.aromatic for a in m.atoms) == 6
+
+    def test_substituted_azulene(self):
+        m = parse_smiles("OC1=CC2=CC=CC=CC2=C1")
+        assert sum(a.aromatic for a in m.atoms) == 10
+
+
 class TestFeaturizer:
     def test_shapes(self):
         x, s, r, e = smiles_to_arrays("CC(=O)Oc1ccccc1C(=O)O")  # aspirin

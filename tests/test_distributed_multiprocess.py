@@ -1,0 +1,99 @@
+"""Two-process jax.distributed simulation on CPU (SURVEY.md §4(d)).
+
+Spawns 2 coordinator+worker OS processes (tests/distributed_worker.py),
+each with 2 virtual CPU devices, wired by
+parallel/distributed.py:initialize_distributed — the first code that
+runs on a real multi-host slice.  Asserts: the runtime forms (2
+processes, 4 global devices), a global-mesh psum crosses the process
+boundary, and one PRODUCTION data-parallel train step (per-host sharded
+loaders via process_shard + make_dp_train_step over the global mesh)
+yields exactly the parameters the single-process 4-device oracle
+produces.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4,
+                    reason="needs multi-device CPU mesh for the oracle")
+def test_two_process_dp_matches_single_process(tmp_path):
+    port = _free_port()
+    out = tmp_path / "proc0.npz"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["GLAM_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["GLAM_NUM_PROCESSES"] = "2"
+        env["GLAM_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(out)], cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout)
+    for pid, (p, stdout) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"worker {pid} failed:\n{stdout[-4000:]}")
+    assert out.exists(), outs[0][-2000:]
+    got = np.load(out)
+    assert got["psum"] == 22.0
+
+    # single-process oracle: same graphs, same init, same device order
+    # ([b0, b2, b1, b3] -- process_shard round-robins by process)
+    from glam_tpu.data.batching import GraphLoader
+    from glam_tpu.nn.model import Architecture, ModelConfig
+    from glam_tpu.parallel.data_parallel import (make_dp_train_step,
+                                                 make_mesh, stack_batches)
+    from glam_tpu.train.losses import get_loss  # noqa: F401
+    from glam_tpu.train.optim import make_optimizer
+    from glam_tpu.train.trainer import TrainState, make_loss_fn
+    from tests.conftest import SMILES_SET, graphs_from_smiles
+
+    graphs = graphs_from_smiles(SMILES_SET[:4])
+    per_dev = list(GraphLoader(graphs, 1, 1, node_budget=40,
+                               edge_budget=64))[:4]
+    order = [per_dev[0], per_dev[2], per_dev[1], per_dev[3]]
+    stacked = stack_batches(order)
+    model = Architecture(ModelConfig(max_nodes=32, e_dim=32,
+                                     graph_do="_None()", flat_do="_None()",
+                                     end_do="_None()", pre_act="CELU",
+                                     graph_act="CELU", flat_act="CELU"))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, order[0], True)
+    state = TrainState.create(apply_fn=model.apply, params=v["params"],
+                              tx=make_optimizer("SGD", 1e-3),
+                              batch_stats={})
+    mesh = make_mesh(jax.devices()[:4], ("data",))
+    step = make_dp_train_step(model, make_loss_fn("regression", "mse", 1),
+                              mesh)
+    state2, loss = step(state, stacked, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(loss), float(got["loss"]),
+                               rtol=1e-5, atol=1e-7)
+    leaves = jax.tree_util.tree_leaves(state2.params)
+    assert len(leaves) == len([k for k in got.files
+                               if k.startswith("p") and k[1:].isdigit()])
+    for i, leaf in enumerate(leaves):
+        np.testing.assert_allclose(
+            np.asarray(leaf), got[f"p{i}"], rtol=1e-5, atol=1e-7,
+            err_msg=f"param leaf {i}")

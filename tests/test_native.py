@@ -18,6 +18,9 @@ MOLECULES = [
     "CN1C=NC2=C1C(=O)N(C(=O)N2C)C", "c1cc[nH]c1", "[NH4+].[Cl-]",
     "C#N", "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "O=C1C=CC(=O)C=C1",
     "[Na+].CCOc1ccc2ccccc2c1C(=O)N[C@H]3[C@H]4SC(C)(C)[C@@H](N4C3=O)C([O-])=O",
+    # azulene-class fused aromatics, both spellings (byte-exact twin)
+    "C1=CC2=CC=CC=CC2=C1", "c1ccc2cccc2cc1", "OC1=CC2=CC=CC=CC2=C1",
+    "C1=CC2=CC=CC12",  # pentalene: must stay NON-aromatic in both
 ]
 
 
