@@ -29,7 +29,14 @@ def _rrelu(x, *, deterministic: bool, rng: Optional[jax.Array]):
 
 
 def celu(x, alpha: float = 1.0):
-    return jnp.where(x >= 0, x, alpha * jnp.expm1(x / alpha))
+    # branch-safe: expm1 is only ever evaluated on x <= 0.  The naive
+    # where(x >= 0, x, expm1(x)) evaluates expm1 on BOTH branches, and
+    # its backward multiplies the (zeroed) false-branch cotangent by
+    # exp(x) — inf for x > ~88.7 in f32, so 0 * inf = NaN poisons the
+    # whole gradient.  torch's native CELU kernel is branchwise and
+    # never hits this; parity requires we don't either.
+    return (jnp.maximum(x, 0.0)
+            + alpha * jnp.expm1(jnp.minimum(x, 0.0) / alpha))
 
 
 _ACTS = {

@@ -88,11 +88,104 @@ def measure(n_devices: int, graphs_per_device: int = 512,
             "step_ms": dt / n_iter * 1e3}
 
 
+def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
+             shard_counts=(2, 4, 8), band: int = 6,
+             long_range_frac: float = 0.05,
+             ici_link_bytes_per_sec: float = 4.5e10,
+             flops_per_sec: float = 1.0e13, seed: int = 0) -> List[dict]:
+    """Analytic per-step compute/communication model for the sharded
+    giant-graph (protein) trainer — makes the BASELINE.md >=80% scaling
+    target falsifiable before real multi-chip hardware exists.
+
+    Builds an L-residue contact-map-like graph (backbone chain + banded
+    contacts + ``long_range_frac`` random long-range contacts, the
+    RaptorX regime of reference src_2gi_dti_scr/utils.py:283-293),
+    partitions it with the production ``split_large_graph`` +
+    ``build_halo_exchange`` planner, and computes per shard and per
+    training step:
+
+      * matmul FLOPs of the sharded TripletMessage tower (fwd+bwd ~ 3x
+        fwd: one fwd pass + two matmul transposes per op);
+      * bytes shipped over ICI by the v2 boundary-only halo exchange
+        (two tables per message step: projected nodes [H*, heads, C]
+        and attention scalars [H*, heads]; backward doubles it — the
+        transpose of all_to_all is all_to_all);
+      * predicted efficiency  t_comp / (t_comp + t_comm)  with NO
+        compute/comm overlap (conservative) at v5e-class numbers
+        (one 45 GB/s ICI link, ~10 TFLOP/s f32 — the rate
+        scripts/profile_step_flops.py measured for the flagship step).
+    """
+    from .graph_partition import build_halo_exchange, split_large_graph
+
+    rng = np.random.RandomState(seed)
+    snd, rcv = [], []
+    for i in range(L - 1):  # backbone i <-> i+1
+        snd += [i, i + 1]
+        rcv += [i + 1, i]
+    for i in range(L):      # banded contacts
+        for j in range(i + 2, min(L, i + band + 1)):
+            snd += [i, j]
+            rcv += [j, i]
+    n_long = int(long_range_frac * L)
+    for _ in range(n_long):  # long-range contacts (the halo makers)
+        i, j = rng.randint(0, L, 2)
+        if abs(i - j) > band:
+            snd += [i, j]
+            rcv += [j, i]
+    snd = np.asarray(snd, np.int32)
+    rcv = np.asarray(rcv, np.int32)
+    E = len(snd)
+    nodes = rng.randn(L, 49).astype(np.float32)
+    edges = rng.randn(E, 8).astype(np.float32)
+    out = []
+    for D in shard_counts:
+        nsh, esh, sg, rl, emask = split_large_graph(nodes, edges, snd,
+                                                    rcv, D)
+        n_local, e_local = nsh.shape[1], esh.shape[1]
+        send_idx, send_mask, _, H = build_halo_exchange(sg, emask,
+                                                        n_local)
+        # --- FLOPs per shard per message step (matmul terms, fwd) ---
+        HC = heads * C
+        fwd = (n_local * C * HC * 2          # xp = x @ wn
+               + e_local * 8 * HC * 2        # eh = e @ we
+               + 2 * n_local * HC * 2        # a_i, a_j einsums
+               + e_local * HC * 2            # a_e
+               + e_local * heads * C * 3     # alpha * eh * xh gather-mult
+               + n_local * HC * C * 2        # aggr @ wscale
+               + n_local * C * 3 * C * 2 * 2)  # GRU two matmuls
+        flops_step = 3 * fwd * steps         # fwd + bwd ~ 3x fwd
+        # --- ICI bytes per shard per message step (v2 halo, fwd) ---
+        halo_rows = D * H                    # padded all_to_all buffer
+        bytes_fwd = halo_rows * (heads * C + heads) * 4
+        bytes_step = 2 * bytes_fwd * steps   # bwd transposes the a2a
+        t_comp = flops_step / flops_per_sec
+        t_comm = bytes_step / ici_link_bytes_per_sec
+        real_halo = int(send_mask.sum())
+        out.append({
+            "shards": D, "L": L, "edges": E, "halo_budget_H": int(H),
+            "real_halo_rows": real_halo,
+            "flops_per_shard_step": int(flops_step),
+            "ici_bytes_per_shard_step": int(bytes_step),
+            "t_compute_us": round(t_comp * 1e6, 2),
+            "t_comm_us": round(t_comm * 1e6, 2),
+            "predicted_efficiency": round(
+                t_comp / (t_comp + t_comm), 4),
+        })
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=None)
     p.add_argument("--graphs_per_device", type=int, default=512)
+    p.add_argument("--analytic", action="store_true",
+                   help="print the analytic ICI scaling model instead "
+                        "of measuring")
     args = p.parse_args(argv)
+    if args.analytic:
+        for row in analytic():
+            print(json.dumps(row))
+        return None
     import jax
     avail = len(jax.devices())
     counts: List[int] = args.devices or [d for d in (1, 2, 4, 8)

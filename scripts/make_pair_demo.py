@@ -109,7 +109,50 @@ def make_dti(smis, n_train=360, n_dev=60, n_test=80):
           f"{len(seqs)} proteins")
 
 
+
+
+def make_scr(n_actives=40, n_inactives=360, target="ALDH1"):
+    """datasets/scr_demo — LIT-PCBA-format virtual-screening corpus.
+
+    Layout matches data/pair_datasets.py:LITPCBADataset (the reference's
+    src_2gi_dti_scr/dataset.py:235-326 per-target files): actives.smi /
+    inactives.smi ('smiles id' lines), {target}.seq FASTA, and a
+    RaptorX-format {target}.contactmap.txt.  Label rule (learnable,
+    screening-imbalanced ~10% actives): active iff the molecule has an
+    aromatic nitrogen.
+    """
+    rng = np.random.RandomState(2)
+    df = pd.read_csv(os.path.join(ROOT, "demo", "raw", "demo.csv"))
+    act, inact = [], []
+    for s in df["smiles"]:
+        try:
+            parse_smiles(s)
+        except Exception:
+            continue
+        (act if has_aromatic_n(s) else inact).append(s)
+    act, inact = act[:n_actives], inact[:n_inactives]
+    base = os.path.join(ROOT, "scr_demo", "raw", "lit_pcba", target)
+    os.makedirs(base, exist_ok=True)
+    for name, smis in [("actives.smi", act), ("inactives.smi", inact)]:
+        with open(os.path.join(base, name), "w") as f:
+            f.write("\n".join(f"{s} SCRDEMO{i}"
+                              for i, s in enumerate(smis)))
+    L = 40
+    seq = "".join(rng.choice(list(AA), L))
+    with open(os.path.join(base, f"{target}.seq"), "w") as f:
+        f.write(seq + "\n")
+    rows = [f"SEQ  {seq}"]
+    for off in (2, 3, 4):  # banded contacts beyond the backbone
+        for i in range(1, L - off + 1):
+            rows.append(f"{i} {i + off} 0.85")
+    with open(os.path.join(base, f"{target}.contactmap.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"scr_demo/{target}: {len(act)} actives / {len(inact)} "
+          f"inactives, protein L={L}")
+
+
 if __name__ == "__main__":
     smis = load_demo_smiles()
     make_ddi(smis)
     make_dti(smis)
+    make_scr()
