@@ -51,6 +51,18 @@ def _utc_run_id(seed: int) -> str:
     return f"{ts}_seed_{seed}"
 
 
+# a trial is treated as diverged when its loss/outputs are non-finite
+# OR absurdly large-but-finite: with branch-safe activations (nn/
+# activations.py celu) an lr=1e8 run reaches ~1e27 losses WITHOUT ever
+# producing a NaN, and such params never recover either
+_DIVERGE_LIMIT = 1e15
+
+
+def _diverged(*values) -> bool:
+    return any(not np.isfinite(v) or abs(float(v)) > _DIVERGE_LIMIT
+               for v in values)
+
+
 def make_loss_fn(task: str, loss_name: str, num_tasks: int):
     """Build ``loss(outputs [G, D], y [G, T], graph_mask) -> scalar``."""
     criterion = get_loss(loss_name)
@@ -486,9 +498,10 @@ class Trainer:
         out, y, mean_loss = self._gather(
             "valid" if mode == "valid" else
             ("test" if self.test_loader else "valid"))
-        if mode != "inference" and not np.isfinite(out).all():
-            # diverged params: sklearn metrics reject NaN scores — emit
-            # an inf-loss sentinel result instead of crashing the trial
+        if mode != "inference" and (not np.isfinite(out).all()
+                                    or np.abs(out).max() > _DIVERGE_LIMIT):
+            # diverged params: sklearn metrics reject NaN/degenerate
+            # scores — emit an inf-loss sentinel instead of crashing
             return float("inf"), {"diverged": 1.0}
         if self.task == "regression":
             pred = out.reshape(-1)
@@ -587,9 +600,9 @@ class Trainer:
         for epoch in range(start_epoch, epochs):
             trn_loss = self.train_iterations(rng)
             val_loss, result = self.valid_iterations()
-            if not (np.isfinite(trn_loss) and np.isfinite(val_loss)):
-                # diverged (NaN/inf params): params never recover, so
-                # stop instead of wasting the remaining epochs or
+            if _diverged(trn_loss, val_loss):
+                # diverged (NaN/inf/absurd params): they never recover,
+                # so stop instead of wasting the remaining epochs or
                 # feeding NaN scores to sklearn (the reference crashes
                 # here; the solver treats both as a skipped trial)
                 self.log(f"Epoch:{epoch} diverged "
