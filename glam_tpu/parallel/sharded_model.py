@@ -203,6 +203,17 @@ def _insert_tower(mol: Dict, sharded: Dict, conv: str,
     mol["flat"]["linear"]["bias"] = sharded["flat"]["bias"]
 
 
+def insert_bn_stats(arch_batch_stats: Dict, sharded: Dict) -> Dict:
+    """Write sharded-trained running statistics (``norm_ra``, updated by
+    make_sharded_train_step(track_bn_stats=True)) back into an
+    Architecture "batch_stats" collection, so the sharded-trained model
+    serves single-device in EVAL mode (use_running_average=True)."""
+    out = jax.tree_util.tree_map(jnp.asarray, arch_batch_stats)
+    out["mol"]["conv"]["BatchNorm_0"]["mean"] = sharded["norm_ra"]["mean"]
+    out["mol"]["conv"]["BatchNorm_0"]["var"] = sharded["norm_ra"]["var"]
+    return out
+
+
 def insert_pair_params(pair_params: Dict, sharded: Dict,
                        pro_conv: str = "_GCNConv",
                        pro_readout: str = "GlobalPool5") -> Dict:
@@ -257,7 +268,8 @@ def _fusion_stats(x1, x2, mol_mask, nmask, axis):
 def _make_run_tower(message_steps: int, heads: int, conv: str,
                     readout: str, graph_act: str, pre_act: str,
                     residual: bool, graph_norm: str, sort_k: int,
-                    axis: str, bn_mode: str = "batch"):
+                    axis: str, bn_mode: str = "batch",
+                    track_bn: bool = False):
     """Build the per-shard tower body: pre-linear -> message steps (v2
     halo exchange) -> cross-shard readout.  Returns
     ``run_tower(params, *local_arrays, fusion=None)`` -> pooled vector
@@ -276,7 +288,11 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         raise ValueError(f"bn_mode must be 'batch' or 'running', "
                          f"got {bn_mode!r}")
 
-    def pairnorm(p, x, nmask):
+    if track_bn and not (gn == "_BatchNorm" and bn_mode == "batch"):
+        raise ValueError("track_bn requires graph_norm='_BatchNorm' "
+                         "with bn_mode='batch'")
+
+    def pairnorm(p, x, nmask, log=None):
         """PyG PairNorm(scale=1) over the ONE giant graph: the per-graph
         center/scale become global psum statistics across shards."""
         m = nmask[:, None].astype(x.dtype)
@@ -286,13 +302,13 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         ms = jax.lax.psum(jnp.sum(xc * xc), axis) / cnt
         return xc / jnp.sqrt(1e-5 + ms)
 
-    def graphsizenorm(p, x, nmask):
+    def graphsizenorm(p, x, nmask, log=None):
         """PyG GraphSizeNorm: x / sqrt(|V|) with |V| the GLOBAL node
         count of the one giant graph (nn/norms.py:121)."""
         cnt = jax.lax.psum(jnp.sum(nmask.astype(x.dtype)), axis)
         return x * jax.lax.rsqrt(jnp.maximum(cnt, 1.0))
 
-    def layernorm(p, x, nmask):
+    def layernorm(p, x, nmask, log=None):
         """PyG graph LayerNorm (nn/norms.py:75): one scalar mean/var
         over ALL node*channel entries of the giant graph (psum across
         shards), per-channel affine from the trained norm params."""
@@ -306,17 +322,19 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         out = xc / jnp.sqrt(var + 1e-5)
         return out * p["norm"]["scale"] + p["norm"]["bias"]
 
-    def batchnorm(p, x, nmask):
+    def batchnorm(p, x, nmask, log=None):
         """Masked BatchNorm1d (nn/norms.py:37, torch semantics) over the
         ONE giant graph.  bn_mode='batch': the batch statistics are the
         GLOBAL masked mean / biased variance (psum across shards) —
         matches the single-device TRAIN-mode forward exactly.
         bn_mode='running': the trained running stats (extract_params
         batch_stats=...) — matches the single-device EVAL forward.
-        Running-stat ACCUMULATION is not threaded through the sharded
-        train step: for the one-giant-graph regime the batch statistics
-        are the population statistics, so sharded serving uses
-        bn_mode='batch'."""
+        With ``track_bn`` (make_sharded_train_step track_bn_stats=True)
+        each step's (mean, UNBIASED var) is collected via ``log`` so the
+        train step can apply the torch momentum-0.1 EMA to the running
+        stats — same update sequence as the single-device weight-tied
+        MessageBlock, whose one BatchNorm module updates once per
+        message step."""
         if bn_mode == "running":
             mean, var = p["norm_ra"]["mean"], p["norm_ra"]["var"]
         else:
@@ -325,10 +343,13 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
             mean = jax.lax.psum(jnp.sum(x * m, axis=0), axis) / cnt
             xc = (x - mean) * m
             var = jax.lax.psum(jnp.sum(xc * xc, axis=0), axis) / cnt
+            if log is not None:
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                log.append((mean, unbiased))
         inv = jax.lax.rsqrt(var + 1e-5)
         return (x - mean) * inv * p["norm"]["scale"] + p["norm"]["bias"]
 
-    norm_fn = {"_None": lambda p, x, nmask: x,
+    norm_fn = {"_None": lambda p, x, nmask, log=None: x,
                "_PairNorm": pairnorm,
                "_GraphSizeNorm": graphsizenorm,
                "_LayerNorm": layernorm,
@@ -536,8 +557,9 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
         x = x * nmask[:, None]
         h = x
         stats = []
+        bn_log = [] if track_bn else None
         for step in range(message_steps):
-            x_in = norm_fn(params, x, nmask)
+            x_in = norm_fn(params, x, nmask, bn_log)
             x, h = conv_step(params, x, x_in, h, edges_l, snd_l, rcv_l,
                              emask, nmask, send_idx, enorm, self_norm)
             if fusion is not None:
@@ -545,6 +567,11 @@ def _make_run_tower(message_steps: int, heads: int, conv: str,
                 stats.append(_fusion_stats(xs1[step], x, mol_mask,
                                            nmask, axis))
         pooled = pool(params, x, nmask)  # replicated (psum'd) vector
+        if track_bn:
+            assert fusion is None, "track_bn + fusion unsupported"
+            bn_means = jnp.stack([m for (m, _) in bn_log])  # [S, C]
+            bn_vars = jnp.stack([v for (_, v) in bn_log])   # [S, C]
+            return pooled, bn_means, bn_vars
         if fusion is None:
             return pooled
         return pooled, jnp.stack(stats)  # [S, 2] replicated
@@ -559,7 +586,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
                          flat_act: str = "CELU", residual: bool = True,
                          graph_norm: str = "_None",
                          sort_k: int = 3, axis: str = "graph",
-                         bn_mode: str = "batch"):
+                         bn_mode: str = "batch",
+                         track_bn_stats: bool = False):
     """Differentiable sharded forward over one giant graph.
 
     Returns fn(params, node_shards [D,Nl,F], edge_shards [D,El,Fe],
@@ -572,7 +600,8 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     act_flat = _act(flat_act)
     run_tower = _make_run_tower(message_steps, heads, conv, readout,
                                 graph_act, pre_act, residual, graph_norm,
-                                sort_k, axis, bn_mode)
+                                sort_k, axis, bn_mode,
+                                track_bn=track_bn_stats)
 
     def tower_local(params, *arrs):
         return run_tower(params, *(a[0] for a in arrs))
@@ -583,13 +612,18 @@ def make_sharded_forward(mesh, message_steps: int, heads: int = 3,
     tower = jax.shard_map(
         tower_local, mesh=mesh,
         in_specs=(P(),) + (P(axis),) * 9,
-        out_specs=P(), check_vma=False)
+        out_specs=(P(), P(), P()) if track_bn_stats else P(),
+        check_vma=False)
 
     def forward(params, *inputs):
-        pooled = tower(params, *inputs)
+        res = tower(params, *inputs)
+        pooled = res[0] if track_bn_stats else res
         out = pooled @ params["flat"]["kernel"] + params["flat"]["bias"]
         out = act_flat(out)
-        return out @ params["out"]["kernel"] + params["out"]["bias"]
+        out = out @ params["out"]["kernel"] + params["out"]["bias"]
+        if track_bn_stats:
+            return out, (res[1], res[2])  # per-step (mean, unbiased var)
+        return out
 
     return jax.jit(forward)
 
@@ -679,24 +713,51 @@ def make_sharded_pair_train_step(mesh, cfg, lr: float = 1e-3,
 
 
 def make_sharded_train_step(mesh, message_steps: int, lr: float = 1e-3,
-                            **kw):
+                            track_bn_stats: bool = False,
+                            bn_momentum: float = 0.1, **kw):
     """One SGD training step on a sharded giant graph: full fwd+bwd
     through the shard_map'd tower (halo exchanges differentiate to the
     transposed collectives), gradients exact vs the single-device model.
 
+    With ``track_bn_stats=True`` (requires graph_norm='_BatchNorm',
+    bn_mode='batch' and params carrying ``norm_ra`` from
+    extract_params(batch_stats=...)), the step also applies the torch
+    momentum-0.1 EMA to the running statistics — once per message step
+    in tower order, exactly the update sequence the single-device
+    weight-tied MessageBlock performs (nn/norms.py:BatchNorm), so a
+    sharded-trained model can later serve with bn_mode='running'.
+
     Returns step(params, inputs_tuple, y) -> (params, loss)."""
-    fwd = make_sharded_forward(mesh, message_steps, **kw)
+    fwd = make_sharded_forward(mesh, message_steps,
+                               track_bn_stats=track_bn_stats, **kw)
 
     def loss_fn(params, inputs, y):
-        pred = fwd(params, *inputs)
-        return jnp.mean((pred - y) ** 2)
+        if track_bn_stats:
+            pred, stats = fwd(params, *inputs)
+            return jnp.mean((pred - y) ** 2), stats
+        return jnp.mean((fwd(params, *inputs) - y) ** 2), None
 
     @jax.jit
     def step(params, inputs, y):
-        loss, grads = jax.value_and_grad(loss_fn)(params, inputs, y)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
-                                        grads)
-        return params, loss
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, inputs, y)
+        # running stats are buffers, not parameters: no gradient update
+        grads = dict(grads)
+        grads.pop("norm_ra", None)
+        new = {k: jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                         params[k], grads[k])
+               for k in grads}
+        if "norm_ra" in params:
+            new["norm_ra"] = params["norm_ra"]
+        if track_bn_stats:
+            means, uvars = stats            # [S, C] each, replicated
+            mean = new["norm_ra"]["mean"]
+            var = new["norm_ra"]["var"]
+            for s in range(means.shape[0]):  # sequential EMA, S steps
+                mean = (1 - bn_momentum) * mean + bn_momentum * means[s]
+                var = (1 - bn_momentum) * var + bn_momentum * uvars[s]
+            new["norm_ra"] = {"mean": mean, "var": var}
+        return new, loss
 
     return step
 

@@ -442,3 +442,53 @@ def test_batchnorm_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_batchnorm_sharded_train_accumulates_running_stats():
+    """make_sharded_train_step(track_bn_stats=True) applies the torch
+    momentum-0.1 EMA once per message step — the updated running stats
+    equal the single-device train-mode forward's mutable batch_stats,
+    and the round-trip (insert_params + insert_bn_stats) serves EVAL
+    single-device identically to the sharded bn_mode='running' path."""
+    from glam_tpu.parallel.sharded_model import (insert_bn_stats,
+                                                 insert_params)
+    giant = _giant_graph(seed=9)
+    model, batch, variables = _single_device(
+        "_TripletMessage", "GlobalLAPool", giant, graph_norm="_BatchNorm")
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+
+    # oracle: ONE train-mode forward updates the weight-tied BatchNorm's
+    # running stats once per message step (nn/norms.py EMA x3)
+    _, upd = model.apply(variables, batch, False,
+                         mutable=["batch_stats"])
+    want = upd["batch_stats"]["mol"]["conv"]["BatchNorm_0"]
+
+    params = extract_params(variables["params"],
+                            graph_norm="_BatchNorm",
+                            batch_stats=variables["batch_stats"])
+    step = make_sharded_train_step(
+        mesh, message_steps=3, lr=1e-3, track_bn_stats=True,
+        conv="_TripletMessage", readout="GlobalLAPool",
+        graph_norm="_BatchNorm")
+    params2, loss = step(params, inputs, jnp.asarray(0.4))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(np.asarray(params2["norm_ra"]["mean"]),
+                               np.asarray(want["mean"]),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(params2["norm_ra"]["var"]),
+                               np.asarray(want["var"]),
+                               rtol=2e-4, atol=1e-5)
+
+    # round-trip: sharded-trained params + accumulated stats serve EVAL
+    # single-device == sharded running-mode forward
+    fwd_r = make_sharded_forward(mesh, message_steps=3,
+                                 graph_norm="_BatchNorm",
+                                 bn_mode="running")
+    sharded_ev = float(np.asarray(fwd_r(params2, *inputs))[0])
+    merged = insert_params(variables["params"], params2,
+                           graph_norm="_BatchNorm")
+    stats = insert_bn_stats(variables["batch_stats"], params2)
+    single_ev = float(np.asarray(model.apply(
+        {"params": merged, "batch_stats": stats}, batch, True))[0, 0])
+    assert abs(single_ev - sharded_ev) < 1e-4 + 1e-4 * abs(sharded_ev)
