@@ -492,3 +492,141 @@ def test_batchnorm_sharded_train_accumulates_running_stats():
     single_ev = float(np.asarray(model.apply(
         {"params": merged, "batch_stats": stats}, batch, True))[0, 0])
     assert abs(single_ev - sharded_ev) < 1e-4 + 1e-4 * abs(sharded_ev)
+
+
+class TestShardedStochastic:
+    """Stochastic TRAINING regularization in the sharded tower:
+    MessageBlock graph-dropout + train-mode RReLU, noise drawn over the
+    GLOBAL node index space (make_stochastic_inputs) so training is
+    bit-identical at any shard count."""
+
+    def _fwd(self, n_parts, giant, variables, key, rate,
+             graph_act="RReLU"):
+        from glam_tpu.parallel.sharded_model import make_stochastic_inputs
+        nodes = giant[0]
+        mesh = make_mesh(jax.devices()[:n_parts], ("graph",))
+        fwd = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalPool5",
+                                   graph_act=graph_act,
+                                   stochastic=True)
+        params = extract_params(variables["params"], "_TripletMessage",
+                                "GlobalPool5")
+        shards = [jnp.asarray(a) for a in shard_inputs(*giant, n_parts)]
+        drop, slope = make_stochastic_inputs(
+            key, nodes.shape[0], 60, 3, n_parts, rate)
+        return np.asarray(fwd(params, *shards, jnp.asarray(drop),
+                              jnp.asarray(slope)))
+
+    def test_shard_count_invariant(self):
+        """Same PRNG key => same prediction at D=1, 2, 4."""
+        giant = _giant_graph(seed=5)
+        _, _, variables = _single_device("_TripletMessage",
+                                         "GlobalPool5", giant)
+        # graph_act RReLU in _cfg? _cfg uses CELU; the sharded fwd's
+        # graph_act is set independently of the flax init (same params).
+        key = jax.random.PRNGKey(42)
+        outs = [self._fwd(d, giant, variables, key, rate=0.3)
+                for d in (1, 2, 4)]
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_rate0_celu_matches_deterministic(self):
+        """rate=0 + non-RReLU act: the stochastic path is exactly the
+        deterministic forward (all-ones keep mask, slopes ignored)."""
+        giant = _giant_graph(seed=6)
+        _, _, variables = _single_device("_TripletMessage",
+                                         "GlobalPool5", giant)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        det = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalPool5")
+        params = extract_params(variables["params"], "_TripletMessage",
+                                "GlobalPool5")
+        shards = [jnp.asarray(a) for a in shard_inputs(*giant, D)]
+        want = np.asarray(det(params, *shards))
+        got = self._fwd(D, giant, variables, jax.random.PRNGKey(7),
+                        rate=0.0, graph_act="CELU")
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_mean_slope_matches_eval_rrelu(self):
+        """Injecting the constant eval slope (l+u)/2 reproduces the
+        deterministic RReLU forward exactly — the train-mode slope path
+        is wired through the same math."""
+        from glam_tpu.nn.activations import RRELU_LOWER, RRELU_UPPER
+        from glam_tpu.parallel.sharded_model import make_stochastic_inputs
+        giant = _giant_graph(seed=7)
+        _, _, variables = _single_device("_TripletMessage",
+                                         "GlobalPool5", giant)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        det = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalPool5",
+                                   graph_act="RReLU")
+        sto = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalPool5",
+                                   graph_act="RReLU", stochastic=True)
+        params = extract_params(variables["params"], "_TripletMessage",
+                                "GlobalPool5")
+        shards = [jnp.asarray(a) for a in shard_inputs(*giant, D)]
+        want = np.asarray(det(params, *shards))
+        drop, slope = make_stochastic_inputs(
+            jax.random.PRNGKey(0), giant[0].shape[0], 60, 3, D,
+            rate=0.0)
+        slope = np.full_like(slope, (RRELU_LOWER + RRELU_UPPER) / 2.0)
+        got = np.asarray(sto(params, *shards, jnp.asarray(drop),
+                             jnp.asarray(slope)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_noise_statistics(self):
+        from glam_tpu.nn.activations import RRELU_LOWER, RRELU_UPPER
+        from glam_tpu.parallel.sharded_model import make_stochastic_inputs
+        drop, slope = make_stochastic_inputs(
+            jax.random.PRNGKey(3), 120, 60, 3, 4, rate=0.25)
+        assert drop.shape == (4, 3, 32, 60)       # Nl = ceil(120/4)->32
+        # undo the shard layout: [D,S,Nl,C] -> [S, D*Nl, C]; the global
+        # tail [120:128) is padding (keep=1, mean slope)
+        g = drop.transpose(1, 0, 2, 3).reshape(3, 128, 60)
+        real = g[:, :120]
+        assert set(np.unique(real)) <= {np.float32(0.0),
+                                        np.float32(1.0 / 0.75)}
+        frac = float((real == 0).mean())
+        assert 0.22 < frac < 0.28                 # ~ rate = 0.25
+        np.testing.assert_array_equal(g[:, 120:], 1.0)
+        sg = slope.transpose(1, 0, 2, 3).reshape(3, 128, 60)
+        assert sg[:, :120].min() >= RRELU_LOWER
+        assert sg[:, :120].max() <= RRELU_UPPER
+        np.testing.assert_allclose(sg[:, 120:],
+                                   (RRELU_LOWER + RRELU_UPPER) / 2.0)
+
+    def test_stochastic_train_step_learns(self):
+        """Full fwd+bwd with dropout + train-RReLU noise, fresh draw per
+        step (flax training semantics), loss decreases."""
+        from glam_tpu.parallel.sharded_model import (
+            make_sharded_train_step, make_stochastic_inputs)
+        giant = _giant_graph(seed=8)
+        _, _, variables = _single_device("_TripletMessage",
+                                         "GlobalLAPool", giant)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        step = make_sharded_train_step(mesh, message_steps=3, lr=1e-2,
+                                       conv="_TripletMessage",
+                                       readout="GlobalLAPool",
+                                       graph_act="RReLU",
+                                       stochastic=True)
+        params = extract_params(variables["params"])
+        shards = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+        y = jnp.asarray([0.3])
+        key = jax.random.PRNGKey(11)
+        losses = []
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            drop, slope = make_stochastic_inputs(
+                sub, giant[0].shape[0], 60, 3, D, rate=0.2)
+            inputs = shards + (jnp.asarray(drop), jnp.asarray(slope))
+            params, loss = step(params, inputs, y)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
