@@ -630,3 +630,90 @@ class TestShardedStochastic:
             losses.append(float(loss))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestShardedPairStochastic:
+    """stochastic=True on the hetero-pair (DTI) path: replicated flax
+    molecule tower draws its own flax 'dropout' stream (outside the
+    shard_map => shard-count independent); the sharded protein tower
+    consumes make_stochastic_inputs noise."""
+
+    def _stoch_cfg(self, L):
+        import dataclasses
+        return dataclasses.replace(
+            _pair_cfg(L), graph_do="Dropout(0.3)", graph_act="RReLU")
+
+    def _run(self, n_parts, mol, pro, cfg, variables, key):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward,
+            make_stochastic_inputs)
+        _, g1, _, _ = _pair_batches_and_model(mol, pro, cfg)
+        mesh = make_mesh(jax.devices()[:n_parts], ("graph",))
+        fwd = make_sharded_pair_forward(mesh, cfg, stochastic=True)
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool")
+        shards = [jnp.asarray(a) for a in shard_inputs(*pro, n_parts)]
+        k_mol, k_pro = jax.random.split(key)
+        drop, slope = make_stochastic_inputs(
+            k_pro, pro[0].shape[0], cfg.hid_dim, cfg.message_steps,
+            n_parts, rate=0.3)
+        return np.asarray(fwd(params, g1, k_mol, *shards,
+                              jnp.asarray(drop), jnp.asarray(slope)))
+
+    def test_pair_shard_count_invariant(self):
+        mol, pro = _pair_setup(seed=21)
+        cfg = self._stoch_cfg(240)
+        _, _, _, variables = _pair_batches_and_model(mol, pro, cfg)
+        key = jax.random.PRNGKey(5)
+        o2 = self._run(2, mol, pro, cfg, variables, key)
+        o4 = self._run(4, mol, pro, cfg, variables, key)
+        np.testing.assert_allclose(o2, o4, rtol=1e-4, atol=1e-5)
+
+    def test_pair_rate0_celu_matches_deterministic(self):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward,
+            make_stochastic_inputs)
+        mol, pro = _pair_setup(seed=22)
+        cfg = _pair_cfg(240)          # all CELU, all dropouts _None()
+        _, g1, _, variables = _pair_batches_and_model(mol, pro, cfg)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        det = make_sharded_pair_forward(mesh, cfg)
+        sto = make_sharded_pair_forward(mesh, cfg, stochastic=True)
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool")
+        shards = [jnp.asarray(a) for a in shard_inputs(*pro, D)]
+        want = np.asarray(det(params, g1, *shards))
+        drop, slope = make_stochastic_inputs(
+            jax.random.PRNGKey(1), pro[0].shape[0], cfg.hid_dim,
+            cfg.message_steps, D, rate=0.0)
+        got = np.asarray(sto(params, g1, jax.random.PRNGKey(2), *shards,
+                             jnp.asarray(drop), jnp.asarray(slope)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_pair_stochastic_train_learns(self):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_train_step,
+            make_stochastic_inputs)
+        mol, pro = _pair_setup(seed=23)
+        cfg = self._stoch_cfg(240)
+        _, g1, _, variables = _pair_batches_and_model(mol, pro, cfg)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        step = make_sharded_pair_train_step(mesh, cfg, lr=3e-4,
+                                            stochastic=True)
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool")
+        shards = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+        y = jnp.asarray(0.5)
+        key = jax.random.PRNGKey(9)
+        losses = []
+        for _ in range(6):
+            key, k_mol, k_pro = jax.random.split(key, 3)
+            drop, slope = make_stochastic_inputs(
+                k_pro, pro[0].shape[0], cfg.hid_dim, cfg.message_steps,
+                D, rate=0.3)
+            inputs = (k_mol,) + shards + (jnp.asarray(drop),
+                                          jnp.asarray(slope))
+            params, loss = step(params, g1, inputs, y)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
