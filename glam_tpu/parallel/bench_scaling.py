@@ -115,7 +115,9 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
         (one 45 GB/s ICI link, ~10 TFLOP/s f32 — the rate
         scripts/profile_step_flops.py measured for the flagship step).
     """
-    from .graph_partition import build_halo_exchange, split_large_graph
+    from .graph_partition import (build_halo_exchange,
+                                  build_halo_exchange_ring,
+                                  split_large_graph)
 
     rng = np.random.RandomState(seed)
     snd, rcv = [], []
@@ -161,6 +163,12 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
         t_comp = flops_step / flops_per_sec
         t_comm = bytes_step / ici_link_bytes_per_sec
         real_halo = int(send_mask.sum())
+        # --- v3 ring plan: per-distance ppermute budgets ---
+        _, budgets, _ = build_halo_exchange_ring(sg, emask, n_local)
+        ring_rows = int(sum(budgets))
+        ring_fwd = ring_rows * (heads * C + heads) * 4
+        ring_step = 2 * ring_fwd * steps     # bwd inverts each permute
+        t_ring = ring_step / ici_link_bytes_per_sec
         out.append({
             "shards": D, "L": L, "edges": E, "halo_budget_H": int(H),
             "real_halo_rows": real_halo,
@@ -170,6 +178,11 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
             "t_comm_us": round(t_comm * 1e6, 2),
             "predicted_efficiency": round(
                 t_comp / (t_comp + t_comm), 4),
+            "ring_halo_rows": ring_rows,
+            "ring_ici_bytes_per_shard_step": int(ring_step),
+            "ring_t_comm_us": round(t_ring * 1e6, 2),
+            "ring_predicted_efficiency": round(
+                t_comp / (t_comp + t_ring), 4),
         })
     return out
 

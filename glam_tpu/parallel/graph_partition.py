@@ -209,6 +209,75 @@ def build_halo_exchange(senders_global: np.ndarray, edge_mask: np.ndarray,
     return send_idx, send_mask, senders_local, H
 
 
+def build_halo_exchange_ring(senders_global: np.ndarray,
+                             edge_mask: np.ndarray, n_local: int
+                             ) -> Tuple[tuple, tuple, np.ndarray]:
+    """Ring-compacted (v3) halo plan: one ``ppermute`` per ring distance
+    with a PER-DISTANCE budget, instead of the v2 ``all_to_all``'s single
+    global budget.
+
+    The v2 exchange ships D*H rows per shard per step where H is the max
+    boundary over ALL ordered shard pairs.  For contiguously partitioned
+    banded graphs (contact maps) nearly all halo traffic is between
+    ADJACENT shards, so distant pairs inflate to the same H they never
+    fill — the analytic model measured ~6x padding at L=900 / 8 shards.
+    Here every ring distance k (shard s -> (s+k) % D) gets its own
+    budget H_k = max over s of that pair's boundary (rounded up to 8; 0
+    skips the permute entirely), cutting ICI bytes from O(D*H*C) to
+    O(sum_k H_k * C).
+
+    Returns
+      send_idxs  tuple of [D, H_k] int32, k = 1..D-1 — for source shard
+                 s, ``send_idxs[k-1][s]`` are the s-LOCAL node ids to
+                 ship to shard (s+k) % D
+      budgets    tuple of H_k
+      senders_local [D, El] — edge senders remapped into shard d's
+                 concatenated table [local (n_local) ; dist-1 halo
+                 (H_1, from shard (d-1)%D) ; dist-2 halo (H_2) ; ...]
+    """
+    D, El = senders_global.shape
+    need: List[List[List[int]]] = [[[] for _ in range(D)]
+                                   for _ in range(D)]  # [src][dst]
+    pos: List[dict] = [dict() for _ in range(D)]  # dst -> {global: slot}
+    for d in range(D):
+        for e in range(El):
+            if not edge_mask[d, e]:
+                continue
+            g = int(senders_global[d, e])
+            s = g // n_local
+            if s == d:
+                continue
+            if g not in pos[d]:
+                pos[d][g] = len(need[s][d])
+                need[s][d].append(g - s * n_local)
+    budgets = []
+    for k in range(1, D):
+        h = max(len(need[s][(s + k) % D]) for s in range(D))
+        budgets.append(-(-h // 8) * 8 if h else 0)
+    send_idxs = []
+    for k in range(1, D):
+        idx = np.zeros((D, budgets[k - 1]), np.int32)
+        for s in range(D):
+            lst = need[s][(s + k) % D]
+            idx[s, :len(lst)] = lst
+        send_idxs.append(idx)
+    # table offset of the distance-k section
+    offs = np.concatenate([[0], np.cumsum(budgets)]) + n_local
+    senders_local = np.zeros((D, El), np.int32)
+    for d in range(D):
+        for e in range(El):
+            if not edge_mask[d, e]:
+                continue
+            g = int(senders_global[d, e])
+            s = g // n_local
+            if s == d:
+                senders_local[d, e] = g - d * n_local
+            else:
+                k = (d - s) % D
+                senders_local[d, e] = offs[k - 1] + pos[d][g]
+    return tuple(send_idxs), tuple(budgets), senders_local
+
+
 def make_halo_message_step_v2(mesh, axis: str = "graph"):
     """Boundary-only halo exchange (v2): each shard gathers just the
     projected features its neighbors need (host-planned send_idx) and

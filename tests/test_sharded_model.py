@@ -717,3 +717,113 @@ class TestShardedPairStochastic:
             losses.append(float(loss))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+def _to_dev(a):
+    if isinstance(a, tuple):
+        return tuple(jnp.asarray(x) for x in a)
+    return jnp.asarray(a)
+
+
+def _banded_giant(seed=0, N=120, E=360, band=20):
+    """Contact-map-like giant graph: |snd - rcv| <= band, so the ring
+    halo plan's distance-1 sections carry nearly all the traffic."""
+    rng = np.random.RandomState(seed)
+    nodes = rng.randn(N, 15).astype(np.float32)
+    edges = rng.randn(E, 4).astype(np.float32)
+    snd = rng.randint(0, N, E).astype(np.int32)
+    rcv = np.clip(snd + rng.randint(-band, band + 1, E),
+                  0, N - 1).astype(np.int32)
+    return nodes, edges, snd, rcv
+
+
+class TestRingHalo:
+    """v3 ring-compacted halo exchange: per-distance ppermute budgets
+    instead of the v2 all_to_all's single global budget — same math,
+    fewer ICI bytes on banded graphs (build_halo_exchange_ring)."""
+
+    @pytest.mark.parametrize("conv,readout", [
+        ("_TripletMessage", "GlobalLAPool"),
+        ("_GCNConv", "GlobalPool5"),
+        ("_GATConv", "GlobalPool5"),
+    ])
+    def test_ring_forward_matches_single_device(self, conv, readout):
+        giant = _banded_giant(seed=31)
+        model, batch, variables = _single_device(conv, readout, giant)
+        want = np.asarray(model.apply(variables, batch, True))[0]
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        fwd = make_sharded_forward(mesh, message_steps=3, conv=conv,
+                                   readout=readout)
+        params = extract_params(variables["params"], conv, readout)
+        shards = [_to_dev(a) for a in shard_inputs(*giant, D,
+                                                   halo="ring")]
+        got = np.asarray(fwd(params, *shards))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_ring_equals_a2a_on_random_graph(self):
+        """Non-banded graph (every shard pair talks): both plans hit
+        the same forward value."""
+        giant = _giant_graph(seed=32)
+        _, _, variables = _single_device("_TripletMessage",
+                                         "GlobalLAPool", giant)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        fwd = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalLAPool")
+        params = extract_params(variables["params"])
+        a = np.asarray(fwd(params, *[_to_dev(x) for x in
+                                     shard_inputs(*giant, D)]))
+        b = np.asarray(fwd(params, *[_to_dev(x) for x in
+                                     shard_inputs(*giant, D,
+                                                  halo="ring")]))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_ring_gradients_match_single_device(self):
+        """ppermute differentiates to the inverse permutation; full
+        fwd+bwd gradient parity vs the flax Architecture (compared over
+        the extracted shared-parameter subtree, like the v2 test)."""
+        giant = _banded_giant(seed=33)
+        model, batch, variables = _single_device("_TripletMessage",
+                                                 "GlobalLAPool", giant)
+        y = jnp.asarray([[0.7]])
+
+        def single_loss(p):
+            out = model.apply({"params": p}, batch, True)
+            return jnp.mean((out[0] - y[0]) ** 2)
+
+        ref = extract_params(jax.grad(single_loss)(variables["params"]))
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        fwd = make_sharded_forward(mesh, message_steps=3,
+                                   conv="_TripletMessage",
+                                   readout="GlobalLAPool")
+        params = extract_params(variables["params"])
+        shards = [_to_dev(a) for a in shard_inputs(*giant, D,
+                                                   halo="ring")]
+
+        def sharded_loss(p):
+            return jnp.mean((fwd(p, *shards) - y[0]) ** 2)
+
+        got = jax.grad(sharded_loss)(params)
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+        flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
+        for (path, r), (_, g) in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_ring_budget_compaction(self):
+        """On a banded graph the ring plan ships far fewer rows than the
+        v2 all_to_all budget D*H."""
+        from glam_tpu.parallel.graph_partition import (
+            build_halo_exchange, build_halo_exchange_ring,
+            split_large_graph)
+        giant = _banded_giant(seed=34, N=240, E=960, band=16)
+        nsh, esh, sg, rl, emask = split_large_graph(*giant, 8)
+        Nl = nsh.shape[1]
+        _, _, _, H = build_halo_exchange(sg, emask, Nl)
+        _, budgets, _ = build_halo_exchange_ring(sg, emask, Nl)
+        v2_rows = 8 * H              # per shard per step
+        v3_rows = sum(budgets)
+        assert v3_rows < v2_rows / 2
+        # distant sections must be empty on a banded graph
+        assert budgets[3] == 0 or budgets[3] <= 8
