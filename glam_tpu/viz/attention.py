@@ -253,3 +253,52 @@ class Visualizer:
                 draw_molecule(smi, w, path=p)
                 paths.append(p)
         return paths
+
+
+class _CkptShim:
+    """Adapts a serve.Predictor checkpoint load to the trainer surface
+    Visualizer consumes (args / model / state.params / state.batch_stats)
+    so attention PNGs can be rendered from a run directory without the
+    training dataset — the reference's visualize_gp.py workflow."""
+
+    def __init__(self, predictor):
+        import types
+        self.args = dict(predictor.args)
+        self.model = predictor.model
+        self.state = types.SimpleNamespace(
+            params=predictor.params,
+            batch_stats=predictor.batch_stats)
+
+
+def main(argv=None):
+    """CLI parity with reference visualize_gp.py: render attention PNGs
+    from a trained run directory.
+
+    python -m glam_tpu.viz.attention --ckpt <run_dir> \
+        --smiles CCO c1ccccc1 --mode hidden_node --out_dir ./viz
+    """
+    import argparse
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--ckpt", required=True,
+                   help="run directory holding best_save.ckpt")
+    p.add_argument("--which", default="best_save.ckpt")
+    p.add_argument("--smiles", nargs="+", required=True)
+    p.add_argument("--mode", default="hidden_node",
+                   choices=Visualizer.MODES)
+    p.add_argument("--out_dir", default="./viz")
+    p.add_argument("--platform", default="cpu",
+                   help="JAX backend; visualization is tiny, default "
+                        "cpu avoids a TPU compile round-trip")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from ..serve import Predictor
+    pred = Predictor.from_checkpoint(args.ckpt, which=args.which)
+    viz = Visualizer(_CkptShim(pred), vis_content=args.mode)
+    for path in viz.visualize(args.smiles, args.out_dir):
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -376,3 +376,31 @@ class TestSeedGrouping:
         assert abs(summary[summary.note == "A"].iloc[0]["valauc_mean"]
                    - 0.7) < 1e-9
         assert "config" in summary.columns     # relaunch needs it
+
+
+class TestVizCLI:
+    def test_cli_from_checkpoint(self, tmp_path):
+        """python -m glam_tpu.viz.attention --ckpt <run_dir>: render
+        PNGs from a checkpoint WITHOUT the training dataset (the
+        reference's visualize_gp.py workflow)."""
+        import pandas as pd
+        from glam_tpu.data.datasets import auto_dataset
+        from glam_tpu.train.trainer import make_trainer
+        from glam_tpu.viz.attention import main as viz_main
+        src = pd.read_csv("datasets/demo/raw/demo.csv").head(24)
+        root = tmp_path / "demo"
+        (root / "raw").mkdir(parents=True)
+        src.to_csv(root / "raw" / "demo.csv", index=False)
+        args = {"dataset": "demo", "dataset_root": str(root),
+                "loss": "bcel", "epochs": 1, "batch_size": 12,
+                "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1,
+                "seed": 1}
+        args, ds, kind = auto_dataset(args)
+        tr = make_trainer(args, ds, kind, work_dir=str(tmp_path))
+        tr.train()
+        out = tmp_path / "viz_cli"
+        viz_main(["--ckpt", str(tr.log_save_dir), "--smiles", "CCO",
+                  "--mode", "hidden_node", "--out_dir", str(out),
+                  "--platform", ""])  # backend already pinned to cpu
+        pngs = list(out.glob("*.png"))
+        assert len(pngs) == 1 and pngs[0].stat().st_size > 1000
