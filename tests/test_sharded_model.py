@@ -827,3 +827,54 @@ class TestRingHalo:
         assert v3_rows < v2_rows / 2
         # distant sections must be empty on a banded graph
         assert budgets[3] == 0 or budgets[3] <= 8
+
+
+def test_everything_on_sharded_training_roundtrip():
+    """Integration: ring halo + stochastic regularization (dropout +
+    train RReLU) + BatchNorm with running-stat accumulation, trained
+    together on a banded giant graph, then served single-device via
+    insert_params/insert_bn_stats — finite losses that decrease, and
+    the round-tripped model agrees with the sharded running-mode eval."""
+    from glam_tpu.parallel.sharded_model import (
+        insert_bn_stats, insert_params, make_sharded_train_step,
+        make_stochastic_inputs)
+    giant = _banded_giant(seed=41)
+    model, batch, variables = _single_device(
+        "_TripletMessage", "GlobalLAPool", giant,
+        graph_norm="_BatchNorm")
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    inputs = tuple(_to_dev(a) for a in shard_inputs(*giant, D,
+                                                    halo="ring"))
+    params = extract_params(variables["params"],
+                            graph_norm="_BatchNorm",
+                            batch_stats=variables["batch_stats"])
+    step = make_sharded_train_step(
+        mesh, message_steps=3, lr=1e-2, track_bn_stats=True,
+        conv="_TripletMessage", readout="GlobalLAPool",
+        graph_norm="_BatchNorm", stochastic=True)
+    key = jax.random.PRNGKey(17)
+    losses = []
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        drop, slope = make_stochastic_inputs(
+            sub, giant[0].shape[0], 60, 3, D, rate=0.2)
+        params, loss = step(params, inputs + (jnp.asarray(drop),
+                                              jnp.asarray(slope)),
+                            jnp.asarray([0.4]))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # serve single-device in EVAL mode == sharded running-mode forward
+    fwd_r = make_sharded_forward(mesh, message_steps=3,
+                                 conv="_TripletMessage",
+                                 readout="GlobalLAPool",
+                                 graph_norm="_BatchNorm",
+                                 bn_mode="running")
+    sharded_ev = float(np.asarray(fwd_r(params, *inputs))[0])
+    merged = insert_params(variables["params"], params,
+                           graph_norm="_BatchNorm")
+    stats = insert_bn_stats(variables["batch_stats"], params)
+    single_ev = float(np.asarray(model.apply(
+        {"params": merged, "batch_stats": stats}, batch, True))[0, 0])
+    assert abs(single_ev - sharded_ev) < 1e-4 + 1e-4 * abs(sharded_ev)
