@@ -878,3 +878,32 @@ def test_everything_on_sharded_training_roundtrip():
     single_ev = float(np.asarray(model.apply(
         {"params": merged, "batch_stats": stats}, batch, True))[0, 0])
     assert abs(single_ev - sharded_ev) < 1e-4 + 1e-4 * abs(sharded_ev)
+
+
+def test_halo_auto_picks_cheaper_plan():
+    """halo='auto': banded graphs get the ring plan (tuple send_idx),
+    dense random graphs keep the single all_to_all (array send_idx);
+    both forwards match the single-device value."""
+    banded = _banded_giant(seed=51)
+    dense = _giant_graph(seed=52)
+    sb = shard_inputs(*banded, 8, halo="auto")
+    sd = shard_inputs(*dense, 4, halo="auto")
+    assert isinstance(sb[6], tuple)         # ring won on the band
+    # dense random graph: every pair talks, the ring saving (only the
+    # padded self-distance) is under the 2x threshold -> a2a retained,
+    # one collective instead of D-1 sequential permutes
+    assert not isinstance(sd[6], tuple)
+    _, _, variables = _single_device("_TripletMessage",
+                                     "GlobalLAPool", banded)
+    model, batch, _ = _single_device("_TripletMessage", "GlobalLAPool",
+                                     banded)
+    want = np.asarray(model.apply(variables, batch, True))[0]
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_forward(mesh, message_steps=3,
+                               conv="_TripletMessage",
+                               readout="GlobalLAPool")
+    params = extract_params(variables["params"])
+    got = np.asarray(fwd(params, *[_to_dev(a) for a in
+                                   shard_inputs(*banded, D,
+                                                halo="auto")]))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
