@@ -108,3 +108,59 @@ class TestPairGradientParity:
             np.testing.assert_allclose(
                 gt, gj, rtol=5e-4, atol=1e-6,
                 err_msg=jax.tree_util.keystr(path))
+
+
+class TestHomoPairParity:
+    """DDI mode (hetero=False): both towers mol-configured with
+    SEPARATE weights (reference src_2gi_ddi/model.py:22-37)."""
+
+    @pytest.fixture(scope="class")
+    def homo_setup(self, request):
+        sample_graphs = request.getfixturevalue("sample_graphs")
+        pairs = list(zip(sample_graphs[:3], sample_graphs[3:6]))
+        b1, b2 = next(iter(PairGraphLoader(pairs, 3, 1)))
+        model = PairArchitecture(CFG, hetero=False)
+        variables = model.init(jax.random.PRNGKey(0), b1, b2, True)
+        twin = TorchPairTwin(hid=CFG.hid_dim, e_dim=CFG.e_dim,
+                             steps=CFG.message_steps,
+                             max_nodes=CFG.max_nodes, hetero=False)
+        load_glam_pair_params(twin, jax.tree_util.tree_map(
+            np.asarray, variables["params"]))
+        return model, variables, twin, b1, b2
+
+    def test_output_parity(self, homo_setup):
+        model, variables, twin, b1, b2 = homo_setup
+        out_j = np.asarray(model.apply(variables, b1, b2, True))
+        with torch.no_grad():
+            out_t = twin(to_torch(b1), to_torch(b2))
+        np.testing.assert_allclose(out_j, out_t.numpy(), rtol=1e-5,
+                                   atol=2e-5)
+
+    def test_full_param_gradients(self, homo_setup):
+        model, variables, twin, b1, b2 = homo_setup
+        yt = np.where(np.asarray(b1.graph_mask),
+                      np.asarray(b1.y[:, 0]), 0.0).astype(np.float32)
+
+        def objective(p):
+            out = model.apply({"params": p}, b1, b2, True)[:, 0]
+            w = b1.graph_mask.astype(out.dtype)
+            import jax.numpy as jnp
+            return (jnp.sum(w * (out - yt) ** 2)
+                    / jnp.maximum(jnp.sum(w), 1.0))
+
+        grads_j = jax.grad(objective)(variables["params"])
+        tb1, tb2 = to_torch(b1), to_torch(b2)
+        twin.zero_grad()
+        out_t = twin(tb1, tb2)[:, 0]
+        w = tb1.graph_mask.to(out_t.dtype)
+        ((w * (out_t - torch.tensor(yt)) ** 2).sum()
+         / w.sum().clamp(min=1.0)).backward()
+        grads_t = torch_pair_grads_as_glam_tree(twin)
+        flat_j = jax.tree_util.tree_flatten_with_path(
+            jax.tree_util.tree_map(np.asarray, grads_j))[0]
+        flat_t = dict(jax.tree_util.tree_flatten_with_path(grads_t)[0])
+        assert len(flat_j) == len(flat_t)
+        for path, gj in flat_j:
+            np.testing.assert_allclose(
+                flat_t[path], gj, rtol=5e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path))
