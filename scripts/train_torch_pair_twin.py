@@ -7,12 +7,15 @@ initialize the glam PairArchitecture(hetero=True), TRANSPLANT the
 identical initial parameters into the torch twin, then train both with
 the same PairGraphLoader shuffle stream, the same 1-logit BCE loss, and
 the same Adam(lr) for the same number of epochs; compare final test
-AUC.  Real BindingDB is unavailable (zero egress), so the bundled
-datasets/dti_demo corpus (bindingdb_c format, cross-tower XNOR label
-that neither tower can predict alone) stands in.
+AUC.  Real BindingDB/DrugBank are unavailable (zero egress), so the
+bundled corpora stand in: datasets/dti_demo (bindingdb_c format,
+cross-tower XNOR label) for --task dti (hetero towers), and
+datasets/ddi_demo (drugbank_caster format) for --task ddi (two
+mol towers, separate weights).
 
 Usage:
-  python scripts/train_torch_pair_twin.py --epochs 6 --seeds 1,12,123
+  python scripts/train_torch_pair_twin.py --task dti --epochs 20
+  python scripts/train_torch_pair_twin.py --task ddi --epochs 10
 """
 import argparse
 import json
@@ -48,8 +51,8 @@ def _auc(ys, scores, masks):
     return binary_metrics(y[valid], s[valid])["auc"]
 
 
-def run_glam(cfg, ds, seed, epochs, bs, lr):
-    model = PairArchitecture(cfg, hetero=True)
+def run_glam(cfg, ds, seed, epochs, bs, lr, hetero=True):
+    model = PairArchitecture(cfg, hetero=hetero)
     loader = PairGraphLoader(ds.train, bs, 1, shuffle=True, seed=seed)
     b1, b2 = next(iter(PairGraphLoader(ds.train[:bs], bs, 1)))
     variables = model.init(jax.random.PRNGKey(seed), b1, b2, True)
@@ -86,11 +89,12 @@ def run_glam(cfg, ds, seed, epochs, bs, lr):
     return _auc(ys, scores, masks), init_params
 
 
-def run_torch(cfg, ds, seed, epochs, bs, lr, init_params):
+def run_torch(cfg, ds, seed, epochs, bs, lr, init_params, hetero=True):
     twin = TorchPairTwin(hid=cfg.hid_dim, e_dim=cfg.e_dim,
                          steps=cfg.message_steps, out_dim=cfg.out_dim,
                          max_nodes=cfg.max_nodes,
-                         pro_max_nodes=cfg.pro_max_nodes)
+                         pro_max_nodes=cfg.pro_max_nodes,
+                         hetero=hetero)
     load_glam_pair_params(twin, init_params)
     opt = torch.optim.Adam(twin.parameters(), lr=lr)
     loader = PairGraphLoader(ds.train, bs, 1, shuffle=True, seed=seed)
@@ -117,16 +121,23 @@ def run_torch(cfg, ds, seed, epochs, bs, lr, init_params):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset_root", default="datasets/dti_demo")
+    ap.add_argument("--task", default="dti", choices=["dti", "ddi"])
+    ap.add_argument("--dataset_root", default=None)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--seeds", default="1,12,123")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--e_dim", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args(argv)
-    ds = BindingDBDataset(args.dataset_root)
+    hetero = args.task == "dti"
+    if hetero:
+        ds = BindingDBDataset(args.dataset_root or "datasets/dti_demo")
+    else:
+        from glam_tpu.data.pair_datasets import DDIDataset
+        ds = DDIDataset(args.dataset_root or "datasets/ddi_demo")
     max_m = max(g.nodes.shape[0] for g, _ in ds.train + ds.test) + 1
-    max_p = max(p.nodes.shape[0] for _, p in ds.train + ds.test) + 1
+    max_p = (max(p.nodes.shape[0] for _, p in ds.train + ds.test) + 1
+             if hetero else max_m)
     cfg = ModelConfig(mol_block="_TripletMessage",
                       mol_readout="GlobalPool5",
                       pro_block="_GCNConv", pro_readout="GlobalLAPool",
@@ -142,10 +153,10 @@ def main(argv=None):
     for seed in [int(s) for s in args.seeds.split(",")]:
         t0 = time.time()
         aj, init_params = run_glam(cfg, ds, seed, args.epochs,
-                                   args.batch_size, args.lr)
+                                   args.batch_size, args.lr, hetero)
         t1 = time.time()
         at = run_torch(cfg, ds, seed, args.epochs, args.batch_size,
-                       args.lr, init_params)
+                       args.lr, init_params, hetero)
         t2 = time.time()
         row = {"seed": seed, "glam_auc": round(float(aj), 4),
                "torch_auc": round(float(at), 4),
@@ -155,7 +166,7 @@ def main(argv=None):
     gj = np.array([r["glam_auc"] for r in rows])
     gt = np.array([r["torch_auc"] for r in rows])
     print(json.dumps({
-        "summary": f"dti_demo pair AUC over {len(rows)} seeds x "
+        "summary": f"{args.task}_demo pair AUC over {len(rows)} seeds x "
                    f"{args.epochs} epochs",
         "glam_mean": round(float(gj.mean()), 4),
         "glam_std": round(float(gj.std()), 4),
