@@ -907,3 +907,21 @@ def test_halo_auto_picks_cheaper_plan():
                                    shard_inputs(*banded, D,
                                                 halo="auto")]))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_halo_pair_forward():
+    """Ring-compacted halo on the sharded PROTEIN tower of the
+    hetero-pair path matches the PairArchitecture oracle."""
+    from glam_tpu.parallel.sharded_model import (
+        extract_pair_params, make_sharded_pair_forward)
+    mol, pro = _pair_setup(seed=61)
+    cfg = _pair_cfg(240)
+    model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+    want = float(np.asarray(model.apply(variables, g1, g2, True))[0, 0])
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    fwd = make_sharded_pair_forward(mesh, cfg)
+    params = extract_pair_params(variables["params"], "_GCNConv",
+                                 "GlobalLAPool")
+    shards = [_to_dev(a) for a in shard_inputs(*pro, D, halo="ring")]
+    got = float(np.asarray(fwd(params, g1, *shards))[0])
+    assert abs(got - want) < 1e-4 + 1e-4 * abs(want), (got, want)
