@@ -133,6 +133,14 @@ def double_bond_descriptors(mol: Mol,
             configured = [s for s in subs if s[2] != 0]
             if not configured:
                 return None  # no directional bond on this side
+            if (len(configured) == 2
+                    and configured[0][2] == configured[1][2]):
+                # contradictory directions (both substituents on the
+                # same side — geometrically impossible): drop the
+                # descriptor rather than resolving written-order
+                # dependently, matching RDKit's conflicting-bond-
+                # direction handling, so respellings keep ONE key
+                return None
             best = max(subs)
             d0 = configured[0][2]
             # the OTHER substituent of the same center sits on the

@@ -925,3 +925,22 @@ def test_ring_halo_pair_forward():
     shards = [_to_dev(a) for a in shard_inputs(*pro, D, halo="ring")]
     got = float(np.asarray(fwd(params, g1, *shards))[0])
     assert abs(got - want) < 1e-4 + 1e-4 * abs(want), (got, want)
+
+
+def test_track_bn_stats_requires_norm_ra_eagerly():
+    """Missing running-stats tree raises a clear ValueError before the
+    jitted step traces (not a KeyError from inside jit)."""
+    from glam_tpu.parallel.sharded_model import make_sharded_train_step
+    giant = _giant_graph(seed=71)
+    _, _, variables = _single_device("_TripletMessage", "GlobalLAPool",
+                                     giant, graph_norm="_BatchNorm")
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    step = make_sharded_train_step(
+        mesh, message_steps=3, lr=1e-3, track_bn_stats=True,
+        conv="_TripletMessage", readout="GlobalLAPool",
+        graph_norm="_BatchNorm")
+    params = extract_params(variables["params"],
+                            graph_norm="_BatchNorm")  # no batch_stats!
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
+    with pytest.raises(ValueError, match="norm_ra"):
+        step(params, inputs, jnp.asarray(0.4))

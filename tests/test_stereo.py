@@ -89,6 +89,18 @@ class TestDoubleBond:
         a, b = _keys("C/C(F)=C/C", "C(\\C)(/F)=C/C")
         assert a == b
 
+    def test_conflicting_directions_dropped(self):
+        """Contradictory directional bonds on one side (geometrically
+        impossible, both substituents 'same side') must NOT resolve
+        written-order dependently: the descriptor is dropped, so the
+        respelling that swaps the two substituents keeps ONE key, and
+        both equal the flat (non-stereo) spelling — RDKit's
+        conflicting-bond-direction behavior."""
+        a, b = _keys("C(/F)(/Cl)=C/Br", "C(/Cl)(/F)=C/Br")
+        assert a == b
+        flat, = _keys("C(F)(Cl)=CBr")
+        assert a == flat
+
     def test_symmetric_side_ignored(self):
         # both substituents on one side identical: not stereogenic
         a, b = _keys("C/C(C)=C/F", "CC(C)=CF")
