@@ -67,7 +67,8 @@ def partition_graphs(graphs: Sequence[GraphArrays], n_parts: int,
 
 def split_large_graph(nodes: np.ndarray, edges: np.ndarray,
                       senders: np.ndarray, receivers: np.ndarray,
-                      n_parts: int
+                      n_parts: int, node_budget: int = 0,
+                      edge_budget: int = 0
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]:
     """Split ONE large graph into node shards + receiver-partitioned
@@ -75,9 +76,16 @@ def split_large_graph(nodes: np.ndarray, edges: np.ndarray,
 
     Returns (node_shards [D, Nl, F], edge_shards [D, El, Fe],
     senders_global [D, El], receivers_local [D, El], edge_mask [D, El]).
-    Padding edges point at local node 0 with mask False."""
+    Padding edges point at local node 0 with mask False.
+
+    ``node_budget`` / ``edge_budget`` set FLOORS on the global node
+    count and the per-shard edge slot count, so graphs of different
+    sizes can share ONE padded shape (and therefore one compiled
+    executable).  Padding node slots carry zeros and are masked by the
+    consumer's node mask (shard_inputs nmask uses the TRUE node count)."""
     N = nodes.shape[0]
-    Nl = -(-N // n_parts)
+    Np = max(N, int(node_budget))
+    Nl = -(-Np // n_parts)
     Nl = -(-Nl // 8) * 8
     node_shards = np.zeros((n_parts, Nl, nodes.shape[1]), np.float32)
     for d in range(n_parts):
@@ -86,6 +94,7 @@ def split_large_graph(nodes: np.ndarray, edges: np.ndarray,
     owner = receivers // Nl
     counts = np.bincount(owner, minlength=n_parts)
     El = -(-int(counts.max()) // 8) * 8 if len(senders) else 8
+    El = max(El, -(-int(edge_budget) // 8) * 8 if edge_budget else 8)
     e_sh = np.zeros((n_parts, El, edges.shape[1]), np.float32)
     s_g = np.zeros((n_parts, El), np.int32)
     r_l = np.zeros((n_parts, El), np.int32)
@@ -148,7 +157,7 @@ def make_halo_message_step(mesh, axis: str = "graph"):
 
 
 def build_halo_exchange(senders_global: np.ndarray, edge_mask: np.ndarray,
-                        n_local: int
+                        n_local: int, halo_budget: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Host-side plan for the boundary-only (v2) halo exchange.
 
@@ -188,6 +197,8 @@ def build_halo_exchange(senders_global: np.ndarray, edge_mask: np.ndarray,
                 need[s][d].append(g - s * n_local)
     H = max((len(lst) for row in need for lst in row), default=0)
     H = max(-(-H // 8) * 8, 8)
+    if halo_budget:  # shared-shape floor (see split_large_graph)
+        H = max(H, -(-int(halo_budget) // 8) * 8)
     send_idx = np.zeros((D, D, H), np.int32)
     send_mask = np.zeros((D, D, H), bool)
     for s in range(D):

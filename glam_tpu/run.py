@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", default=1, type=int,
                    help="data-parallel training over the first N chips "
                         "(batch_size must be divisible by N)")
+    p.add_argument("--pro_shards", default=1, type=int,
+                   help="DTI datasets: shard the protein tower over the "
+                        "first N devices (node-partitioned giant-graph "
+                        "model parallelism with halo exchange; one pair "
+                        "per step — for proteins too large for one "
+                        "chip). Mutually exclusive with --n_devices > 1")
     return p
 
 
@@ -118,6 +124,20 @@ def main(argv=None):
     args, dataset, trainer_kind = auto_dataset(args)
     print("Training init...")
     resume = args.pop("resume", None)
+    pro_shards = int(args.get("pro_shards", 1))
+    if pro_shards > 1:
+        if trainer_kind not in ("pair_binary", "pair_screening",
+                                "pair_regression"):
+            raise ValueError("--pro_shards applies to DTI datasets "
+                             f"only (got trainer kind {trainer_kind})")
+        if int(args.get("n_devices", 1)) > 1:
+            raise ValueError("--pro_shards and --n_devices are "
+                             "mutually exclusive")
+        from .train.sharded_pair_trainer import ShardedPairTrainer
+        trainer = ShardedPairTrainer(args, dataset, task=trainer_kind,
+                                     work_dir=args.get("work_dir"))
+        trainer.train_and_test()
+        return trainer
     trainer = make_auto_trainer(args, dataset, trainer_kind,
                                 work_dir=args.get("work_dir"))
     if resume:

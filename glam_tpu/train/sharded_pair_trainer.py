@@ -1,0 +1,345 @@
+"""Production DTI training with the PROTEIN tower sharded over a mesh.
+
+`python -m glam_tpu.run --dataset bindingdb_c ... --pro_shards N` routes
+here: the molecule tower runs replicated (flax), the giant contact-map
+protein graph is node-partitioned over an N-device ("graph",) mesh with
+the boundary-only halo exchange, and every fwd+bwd step differentiates
+through the shard_map (parallel/sharded_model.py — gradients match the
+single-device PairArchitecture, tests/test_sharded_model.py).  This is
+a NEW capability (the reference processes every protein single-device,
+src_2gi_dti_scr/utils.py:283-293); it exists for proteins too large for
+one chip's HBM.
+
+Contract kept from the Trainer family: per-epoch log lines, best/final
+checkpoints (saved in the PairArchitecture layout via
+``insert_pair_params``, so serving/ensembling tools load them
+unchanged), early stopping on val loss, and the parseable final
+``{loss}|{test}|{val}`` line the AutoML layer consumes.
+
+Regime notes (documented restrictions of the sharded path):
+  * one pair per optimizer step (the giant-protein regime);
+  * every protein is padded to the corpus maxima
+    (``shard_inputs(node_budget=..., edge_budget=..., halo_budget=...)``)
+    so ALL samples share one compiled executable;
+  * end_norm must be '_None' (reference DTI default); the protein
+    tower's flat dropout is deterministic (molecule tower honors all
+    flax dropouts via its own rng stream); graph dropout + train-mode
+    RReLU are fully supported through ``make_stochastic_inputs``;
+  * constant learning rate (no plateau scheduler in this regime).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..data.batching import GraphLoader
+from ..nn.activations import is_stochastic
+from ..nn.blocks import parse_dropout
+from ..nn.model import PairArchitecture, model_config_from_args
+from ..parallel.data_parallel import make_mesh
+from ..parallel.sharded_model import (extract_pair_params,
+                                      insert_pair_params,
+                                      make_sharded_pair_forward,
+                                      make_stochastic_inputs,
+                                      shard_inputs)
+from .metrics import binary_metrics, regression_metrics, screening_metrics
+from .optim import make_optimizer
+from .pair_trainer import _set_pair_max_nodes
+
+
+class ShardedPairTrainer:
+    """Giant-protein DTI trainer over a node-sharded mesh."""
+
+    def __init__(self, args: Dict, dataset, task: str = "pair_binary",
+                 work_dir: Optional[str] = None):
+        args = dict(args)
+        args["task"] = task
+        args["num_tasks"] = 1
+        args["out_dim"] = 1 if task in ("pair_regression",
+                                        "pair_binary_bce") else 2
+        self.args = args
+        self.task = task
+        self.class_weights = getattr(dataset, "class_weights", None)
+        n = int(args.get("pro_shards", 2))
+        devs = jax.devices()
+        if len(devs) < n:
+            raise ValueError(f"--pro_shards {n} needs {n} devices, "
+                             f"have {len(devs)}")
+        self.n_shards = n
+        self.mesh = make_mesh(devs[:n], ("graph",))
+
+        overrides = {
+            "mol_in_dim": dataset.num_node_features,
+            "mol_edge_in_dim": dataset.num_edge_features,
+            "pro_in_dim": dataset.pro_num_node_features,
+            "pro_edge_in_dim": dataset.pro_num_edge_features,
+            "out_dim": args["out_dim"],
+            "end_norm": "_None",  # sharded pair-head requirement
+        }
+        _set_pair_max_nodes(overrides, dataset.train + dataset.val
+                            + dataset.test, hetero=True)
+        cfg = model_config_from_args(args, **overrides)
+        args["model_cfg"] = dataclasses.asdict(cfg)
+        self.cfg = cfg
+        self.model = PairArchitecture(cfg, hetero=True)
+
+        # ---- one padded shape for every sample ----------------------
+        pairs = dataset.train + dataset.val + dataset.test
+        mol_nb = 8 * -(-max(p[0].nodes.shape[0] for p in pairs) // 8)
+        mol_eb = 8 * -(-max(p[0].senders.shape[0] for p in pairs) // 8)
+        self._mol_budgets = (mol_nb + 8, mol_eb + 8)
+        self._pro_budgets = self._plan_pro_budgets(pairs)
+        self._pro_cache: Dict[int, tuple] = {}
+        self.splits = {"train": dataset.train, "valid": dataset.val,
+                       "test": dataset.test}
+
+        # ---- params / optimizer / jitted steps ----------------------
+        seed = int(args.get("seed", 1234))
+        m0, p0, _ = self._sample(dataset.train[0])
+        variables = self.model.init(jax.random.PRNGKey(seed), m0,
+                                    self._dummy_pro_batch(
+                                        dataset.train[0][1]), True)
+        self._flax_params = variables["params"]
+        self.params = extract_pair_params(
+            variables["params"], cfg.pro_block, cfg.pro_readout,
+            graph_norm="_None" if cfg.graph_norm.strip() == "_None"
+            else cfg.graph_norm)
+        self.tx = make_optimizer(args.get("optim", "Adam"),
+                                 float(args.get("lr", 1e-3)),
+                                 k=int(args.get("k", 6)))
+        self.opt_state = self.tx.init(self.params)
+        rate = parse_dropout(args.get("graph_do", "_None()"))
+        self.stochastic = rate > 0.0 or is_stochastic(
+            args.get("graph_act", "CELU"))
+        self._drop_rate = rate
+        self.fwd_eval = make_sharded_pair_forward(self.mesh, cfg)
+        self.fwd_train = (make_sharded_pair_forward(self.mesh, cfg,
+                                                    stochastic=True)
+                          if self.stochastic else self.fwd_eval)
+        self._build_steps()
+        self._key = jax.random.PRNGKey(seed + 1)
+
+        # ---- run dir / logging --------------------------------------
+        base = Path(work_dir or ".") / f"log_{args.get('dataset', 'dti')}"
+        self.run_id = time.strftime("%Y-%m-%d_%H:%M:%S") + \
+            f"_seed_{seed}_shard{n}"
+        self.log_save_dir = base / self.run_id
+        self.log_save_dir.mkdir(parents=True, exist_ok=True)
+        self.records = {"val_losses": []}
+        self.log(f"sharded DTI trainer: {n} shards, task={task}, "
+                 f"stochastic={self.stochastic}")
+        self.log(str({k: v for k, v in args.items() if k != "model_cfg"}))
+
+    # ------------------------------------------------------------------
+    def _plan_pro_budgets(self, pairs):
+        """Corpus-wide (node, edge, halo) floors: plan every distinct
+        protein once unbudgeted, take maxima, then re-plan with floors
+        so one executable serves all."""
+        from ..parallel.graph_partition import (build_halo_exchange,
+                                                split_large_graph)
+        seen, nb, eb, hb = set(), 0, 0, 0
+        for _, pro in pairs:
+            if id(pro) in seen:
+                continue
+            seen.add(id(pro))
+            nsh, esh, sg, rl, em = split_large_graph(
+                pro.nodes, pro.edges, pro.senders, pro.receivers,
+                self.n_shards)
+            _, _, _, H = build_halo_exchange(sg, em, nsh.shape[1])
+            nb = max(nb, pro.nodes.shape[0])
+            eb = max(eb, esh.shape[1])
+            hb = max(hb, H)
+        return nb, eb, hb
+
+    def _pro_inputs(self, pro):
+        key = id(pro)
+        if key not in self._pro_cache:
+            nb, eb, hb = self._pro_budgets
+            self._pro_cache[key] = tuple(
+                jnp.asarray(a) for a in shard_inputs(
+                    pro.nodes, pro.edges, pro.senders, pro.receivers,
+                    self.n_shards, node_budget=nb, edge_budget=eb,
+                    halo_budget=hb))
+        return self._pro_cache[key]
+
+    def _dummy_pro_batch(self, pro):
+        return next(iter(GraphLoader([pro], 1, 1)))
+
+    def _sample(self, pair):
+        mol, pro = pair
+        nb, eb = self._mol_budgets
+        mol_b = next(iter(GraphLoader([mol], 1, 1, node_budget=nb,
+                                      edge_budget=eb)))
+        return mol_b, self._pro_inputs(pro), float(mol.y[0])
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self):
+        task = self.task
+        cw = (jnp.asarray(self.class_weights, jnp.float32)
+              if self.class_weights is not None else None)
+
+        def loss(logits, y):
+            if task == "pair_regression":
+                return (logits[0] - y) ** 2
+            if task == "pair_binary_bce":
+                z = logits[0]
+                return jnp.maximum(z, 0.0) - z * y + jnp.log1p(
+                    jnp.exp(-jnp.abs(z)))
+            # 2-logit CE (pair_binary / pair_screening)
+            tgt = jnp.clip(y.astype(jnp.int32), 0, logits.shape[0] - 1)
+            ce = (jax.nn.logsumexp(logits) - logits[tgt])
+            if task == "pair_screening" and cw is not None:
+                ce = ce * cw[tgt]
+            return ce
+
+        return loss
+
+    def _build_steps(self):
+        loss = self._loss_fn()
+        fwd_t = self.fwd_train
+        fwd_e = self.fwd_eval
+        tx = self.tx
+
+        def objective(params, mol_b, pro_in, y):
+            return loss(fwd_t(params, mol_b, *pro_in), y)
+
+        @jax.jit
+        def step(params, opt_state, mol_b, pro_in, y):
+            lval, grads = jax.value_and_grad(objective)(params, mol_b,
+                                                        pro_in, y)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, lval
+
+        @jax.jit
+        def infer(params, mol_b, pro_in, y):
+            logits = fwd_e(params, mol_b, *pro_in)
+            return logits, loss(logits, y)
+
+        self._step = step
+        self._infer = infer
+
+    def _noise(self, pro_in):
+        """Stochastic inputs: (mol_rng,) + noise arrays with the PADDED
+        global node shape (static across samples -> one executable)."""
+        self._key, k_mol, k_pro = jax.random.split(self._key, 3)
+        n_global = pro_in[0].shape[0] * pro_in[0].shape[1]  # D * Nl
+        drop, slope = make_stochastic_inputs(
+            k_pro, n_global, self.cfg.hid_dim, self.cfg.message_steps,
+            self.n_shards, rate=self._drop_rate)
+        return (k_mol,) + tuple(pro_in) + (jnp.asarray(drop),
+                                           jnp.asarray(slope))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        epochs = int(self.args.get("epochs", 10))
+        patience = int(self.args.get("early_stop_patience", 50))
+        seed = int(self.args.get("seed", 1234))
+        best, best_params, wait = float("inf"), self.params, 0
+        for ep in range(1, epochs + 1):
+            order = np.random.RandomState(seed + ep).permutation(
+                len(self.splits["train"]))
+            tr_losses = []
+            for i in order:
+                mol_b, pro_in, y = self._sample(self.splits["train"][i])
+                inputs = (self._noise(pro_in) if self.stochastic
+                          else pro_in)
+                self.params, self.opt_state, lv = self._step(
+                    self.params, self.opt_state, mol_b, inputs,
+                    jnp.asarray(y))
+                tr_losses.append(float(lv))
+            val_loss, val_m = self.valid_iterations("valid")
+            self.records["val_losses"].append(val_loss)
+            self.log(f"Epoch:{ep} trn_loss:{np.mean(tr_losses):.4f} "
+                     f"val_loss:{val_loss:.4f} val_result:{val_m}")
+            if val_loss < best:
+                best, best_params, wait = val_loss, self.params, 0
+                self.save_ckpt(ep)
+            else:
+                wait += 1
+                if wait >= patience:
+                    self.log(f"early stop at epoch {ep}")
+                    break
+        self.params = best_params
+        self.save_ckpt(epochs, final_save=True)
+
+    def valid_iterations(self, mode: str = "valid"):
+        split = self.splits["test" if mode == "test"
+                            and self.splits["test"] else "valid"]
+        ys, outs, losses = [], [], []
+        for pair in split:
+            mol_b, pro_in, y = self._sample(pair)
+            logits, lv = self._infer(self.params, mol_b, pro_in,
+                                     jnp.asarray(y))
+            ys.append(y)
+            outs.append(np.asarray(logits))
+            losses.append(float(lv))
+        out = np.stack(outs)
+        yt = np.asarray(ys)
+        mean_loss = float(np.mean(losses))
+        if self.task == "pair_regression":
+            return mean_loss, regression_metrics(yt, out[:, 0])
+        if self.task == "pair_binary_bce":
+            score = 1.0 / (1.0 + np.exp(-out[:, 0]))
+            return mean_loss, binary_metrics(yt, score)
+        ex = np.exp(out - out.max(-1, keepdims=True))
+        score = (ex / ex.sum(-1, keepdims=True))[:, 1]
+        pred = out.argmax(-1)
+        metric_fn = (screening_metrics if self.task == "pair_screening"
+                     else binary_metrics)
+        return mean_loss, metric_fn(yt, score, pred)
+
+    def train_and_test(self):
+        self.train()
+        self.log("Testing...")
+        val_loss, val_result = self.valid_iterations("valid")
+        test_loss, test_result = self.valid_iterations("test")
+        loss_info = {"testloss": float(test_loss),
+                     "valloss": float(val_loss)}
+        val_new = {"val" + k: v for k, v in val_result.items()}
+        self.log(f"{loss_info}|{test_result}|{val_new}")
+        try:
+            with open(self.log_save_dir / "result.json", "w") as f:
+                json.dump({"run_id": self.run_id, "loss": loss_info,
+                           "test": test_result, "val": val_new}, f)
+        except OSError:
+            pass
+        return loss_info, test_result, val_new
+
+    # ------------------------------------------------------------------
+    def save_ckpt(self, epoch: int, final_save: bool = False):
+        """Reference-layout checkpoint: sharded-trained weights written
+        back into the PairArchitecture tree (insert_pair_params), same
+        payload keys as Trainer.save_ckpt, so serving/ensemble tools
+        load it unchanged."""
+        merged = insert_pair_params(self._flax_params, self.params,
+                                    self.cfg.pro_block,
+                                    self.cfg.pro_readout)
+        name = "final_save.ckpt" if final_save else "best_save.ckpt"
+        payload = {
+            "args": json.dumps(self.args),
+            "records": json.dumps(self.records),
+            "params": serialization.to_bytes(merged),
+            "batch_stats": serialization.to_bytes({}),
+        }
+        with open(self.log_save_dir / name, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        self.log(f"Model saved at epoch {epoch}")
+
+    def log(self, msg=None):
+        line = "" if msg is None else str(msg)
+        print(line)
+        try:
+            with open(self.log_save_dir / "log.txt", "a") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
