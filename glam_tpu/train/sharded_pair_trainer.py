@@ -24,8 +24,8 @@ Regime notes (documented restrictions of the sharded path):
   * end_norm must be '_None' (reference DTI default); the protein
     tower's flat dropout is deterministic (molecule tower honors all
     flax dropouts via its own rng stream); graph dropout + train-mode
-    RReLU are fully supported through ``make_stochastic_inputs``;
-  * constant learning rate (no plateau scheduler in this regime).
+    RReLU are fully supported through ``make_stochastic_inputs``.
+ReduceLROnPlateau (torch parity) runs on the val loss like the Trainer.
 """
 from __future__ import annotations
 
@@ -52,7 +52,8 @@ from ..parallel.sharded_model import (extract_pair_params,
                                       make_stochastic_inputs,
                                       shard_inputs)
 from .metrics import binary_metrics, regression_metrics, screening_metrics
-from .optim import make_optimizer
+from .optim import (ReduceLROnPlateau, get_learning_rate, make_optimizer,
+                    set_learning_rate)
 from .pair_trainer import _set_pair_max_nodes
 
 
@@ -244,6 +245,9 @@ class ShardedPairTrainer:
         epochs = int(self.args.get("epochs", 10))
         patience = int(self.args.get("early_stop_patience", 50))
         seed = int(self.args.get("seed", 1234))
+        scheduler = ReduceLROnPlateau(
+            factor=float(self.args.get("lr_reduce_rate", 0.7)),
+            patience=int(self.args.get("lr_reduce_patience", 20)))
         best, best_params, wait = float("inf"), self.params, 0
         for ep in range(1, epochs + 1):
             order = np.random.RandomState(seed + ep).permutation(
@@ -259,8 +263,14 @@ class ShardedPairTrainer:
                 tr_losses.append(float(lv))
             val_loss, val_m = self.valid_iterations("valid")
             self.records["val_losses"].append(val_loss)
+            lr = get_learning_rate(self.opt_state)
+            new_lr = scheduler.step(val_loss, lr)
+            if new_lr != lr:
+                self.opt_state = set_learning_rate(self.opt_state,
+                                                   new_lr)
             self.log(f"Epoch:{ep} trn_loss:{np.mean(tr_losses):.4f} "
-                     f"val_loss:{val_loss:.4f} val_result:{val_m}")
+                     f"val_loss:{val_loss:.4f} val_result:{val_m} "
+                     f"lr_cur:{new_lr:.7f}")
             if val_loss < best:
                 best, best_params, wait = val_loss, self.params, 0
                 self.save_ckpt(ep)
