@@ -135,6 +135,15 @@ def available() -> bool:
     return load_library() is not None
 
 
+def pack_enabled() -> bool:
+    """C++ batch packer opt-in: measured SLOWER than the vectorized
+    numpy pack loop at every batch size (see data/graph.py pad_graphs),
+    so it is off by default; GLAM_NATIVE_PACK=1 enables it."""
+    import os
+    return (os.environ.get("GLAM_NATIVE_PACK", "0") == "1"
+            and available())
+
+
 _CAP_ATOMS = 1024
 _CAP_EDGES = 4096
 

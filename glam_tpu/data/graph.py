@@ -159,11 +159,18 @@ def pad_graphs(
     G = num_graphs + 1
 
     from ..chem import native as _native
+    # Packer backend by MEASUREMENT (2026-08-20, demo corpus, one
+    # process): the vectorized numpy loop beats the ctypes C++ packer at
+    # every batch size (bs 16/64/256/512 -> 0.84/0.78/0.55/0.52x native
+    # vs python; marshalling overhead dominates and numpy's copies are
+    # already memcpy).  Python is therefore the default hot path; set
+    # GLAM_NATIVE_PACK=1 to opt into the C++ packer (kept byte-exact
+    # tested, tests/test_native.py).
     packed = (_native.pack_batch_native(graphs, num_nodes, num_edges, G,
                                         fn, fe)
-              if graphs and _native.available() else None)
+              if graphs and _native.pack_enabled() else None)
     if packed is not None:
-        # C++ hot path (native/csrc/glam_native.cpp glam_pack_batch),
+        # C++ path (native/csrc/glam_native.cpp glam_pack_batch),
         # byte-exact vs the Python loop below (tests/test_native.py)
         (nodes, edges, senders, receivers, node_graph, node_pos,
          node_mask, edge_mask) = packed

@@ -82,13 +82,15 @@ class TestNativePackBatch:
         from glam_tpu.data.graph import pad_graphs
         from conftest import SMILES_SET, graphs_from_smiles
         graphs = graphs_from_smiles(SMILES_SET)
-        b_nat = pad_graphs(graphs, 6, 96, 160, 1)
-        avail = nat.available
-        nat.available = lambda: False
+        # the C++ packer is opt-in (measured slower than the numpy
+        # loop, data/graph.py); force it on for the parity check
+        enabled = nat.pack_enabled
+        nat.pack_enabled = nat.available
         try:
-            b_py = pad_graphs(graphs, 6, 96, 160, 1)
+            b_nat = pad_graphs(graphs, 6, 96, 160, 1)
         finally:
-            nat.available = avail
+            nat.pack_enabled = enabled
+        b_py = pad_graphs(graphs, 6, 96, 160, 1)
         for f in b_py._fields:
             a, b = getattr(b_py, f), getattr(b_nat, f)
             if a is None:
