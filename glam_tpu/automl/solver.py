@@ -41,7 +41,7 @@ class GLAM:
                  high_fidelity_epochs: int = 2000,
                  low_fidelity_epochs: Optional[int] = None,
                  platform: Optional[str] = None,
-                 probe_compile: float = 0.0):
+                 probe_compile: float = 0.0, pro_shards: int = 1):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -54,6 +54,7 @@ class GLAM:
         self.low_fidelity_epochs = low_fidelity_epochs
         self.platform = platform
         self.probe_compile = float(probe_compile or 0.0)
+        self.pro_shards = int(pro_shards or 1)
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
@@ -95,6 +96,8 @@ class GLAM:
             # validated compile per trial: reject lottery-slow
             # executables before they poison the shared persistent cache
             argv += ["--probe_compile", str(self.probe_compile)]
+        if self.pro_shards > 1:
+            argv += ["--pro_shards", str(self.pro_shards)]
         return subprocess.Popen(argv, env=self.env)
 
     def low_fidelity_training(self):

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validated compile for every trial: minimum "
                         "train-dispatch edges/s before training starts "
                         "(0 = off); see run.py --probe_compile")
+    p.add_argument("--pro_shards", default=1, type=int,
+                   help="DTI searches: run every trial with the protein "
+                        "tower sharded over N devices (run.py "
+                        "--pro_shards)")
     return p
 
 
@@ -49,7 +53,8 @@ def main(argv=None):
         work_dir=args.work_dir,
         high_fidelity_epochs=args.high_fidelity_epochs,
         low_fidelity_epochs=args.low_fidelity_epochs,
-        platform=args.platform, probe_compile=args.probe_compile)
+        platform=args.platform, probe_compile=args.probe_compile,
+        pro_shards=args.pro_shards)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver

@@ -59,3 +59,29 @@ class TestShardedDTICLI:
                     "--loss", "bcel",
                     "--epochs", "1", "--pro_shards", "4",
                     "--work_dir", str(tmp_path)])
+
+
+def test_solver_forwards_pro_shards(monkeypatch, tmp_path):
+    """The AutoML solver passes --pro_shards to every trial command."""
+    from glam_tpu.automl.solver import GLAM
+    solver = GLAM(dataset="bindingdb_c",
+                  dataset_root="datasets/dti_demo",
+                  work_dir=str(tmp_path), pro_shards=4)
+    captured = {}
+
+    class _P:
+        def poll(self):
+            return 0
+
+    def fake_popen(argv, env=None):
+        captured["argv"] = argv
+        return _P()
+
+    import subprocess
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    solver._launch({"dataset": "bindingdb_c",
+                    "dataset_root": "datasets/dti_demo",
+                    "epochs": 1, "seed": 1})
+    assert "--pro_shards" in captured["argv"]
+    i = captured["argv"].index("--pro_shards")
+    assert captured["argv"][i + 1] == "4"
