@@ -136,6 +136,8 @@ def main(argv=None):
         from .train.sharded_pair_trainer import ShardedPairTrainer
         trainer = ShardedPairTrainer(args, dataset, task=trainer_kind,
                                      work_dir=args.get("work_dir"))
+        if resume:
+            trainer.resume(resume)
         trainer.train_and_test()
         return trainer
     trainer = make_auto_trainer(args, dataset, trainer_kind,

@@ -128,6 +128,12 @@ class ShardedPairTrainer:
                           if self.stochastic else self.fwd_eval)
         self._build_steps()
         self._key = jax.random.PRNGKey(seed + 1)
+        self.scheduler = ReduceLROnPlateau(
+            factor=float(args.get("lr_reduce_rate", 0.7)),
+            patience=int(args.get("lr_reduce_patience", 20)))
+        self._wait = 0
+        self._start_epoch = 1
+        self._best_params = self.params
 
         # ---- run dir / logging --------------------------------------
         base = Path(work_dir or ".") / f"log_{args.get('dataset', 'dti')}"
@@ -245,11 +251,10 @@ class ShardedPairTrainer:
         epochs = int(self.args.get("epochs", 10))
         patience = int(self.args.get("early_stop_patience", 50))
         seed = int(self.args.get("seed", 1234))
-        scheduler = ReduceLROnPlateau(
-            factor=float(self.args.get("lr_reduce_rate", 0.7)),
-            patience=int(self.args.get("lr_reduce_patience", 20)))
-        best, best_params, wait = float("inf"), self.params, 0
-        for ep in range(1, epochs + 1):
+        best = (min(self.records["val_losses"])
+                if self.records["val_losses"] else float("inf"))
+        best_params, wait = self._best_params, self._wait
+        for ep in range(self._start_epoch, epochs + 1):
             order = np.random.RandomState(seed + ep).permutation(
                 len(self.splits["train"]))
             tr_losses = []
@@ -264,7 +269,7 @@ class ShardedPairTrainer:
             val_loss, val_m = self.valid_iterations("valid")
             self.records["val_losses"].append(val_loss)
             lr = get_learning_rate(self.opt_state)
-            new_lr = scheduler.step(val_loss, lr)
+            new_lr = self.scheduler.step(val_loss, lr)
             if new_lr != lr:
                 self.opt_state = set_learning_rate(self.opt_state,
                                                    new_lr)
@@ -276,9 +281,10 @@ class ShardedPairTrainer:
                 self.save_ckpt(ep)
             else:
                 wait += 1
-                if wait >= patience:
-                    self.log(f"early stop at epoch {ep}")
-                    break
+            self.save_resume_ckpt(ep, wait)
+            if wait >= patience:
+                self.log(f"early stop at epoch {ep}")
+                break
         self.params = best_params
         self.save_ckpt(epochs, final_save=True)
 
@@ -344,6 +350,59 @@ class ShardedPairTrainer:
         with open(self.log_save_dir / name, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
         self.log(f"Model saved at epoch {epoch}")
+
+    def save_resume_ckpt(self, epoch: int, wait: int):
+        """Mid-training resume snapshot (sharded param layout +
+        optimizer state + noise PRNG key + scheduler/early-stop state);
+        the per-epoch shuffle derives from seed+epoch, so no replay
+        state is needed."""
+        payload = {
+            "args": json.dumps(self.args),
+            "records": json.dumps(self.records),
+            "params": serialization.to_bytes(self.params),
+            "best_params": serialization.to_bytes(self._best_params),
+            "opt_state": serialization.to_bytes(self.opt_state),
+            "key": serialization.to_bytes(np.asarray(self._key)),
+            "epoch": epoch,
+            "wait": wait,
+            "scheduler": json.dumps({"best": self.scheduler.best,
+                                     "num_bad": self.scheduler.num_bad}),
+        }
+        with open(self.log_save_dir / "last_save.ckpt", "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def resume(self, run_dir) -> int:
+        """Restore from ``<run_dir>/last_save.ckpt`` and continue in
+        that run dir; returns the next epoch."""
+        path = Path(run_dir)
+        if path.is_dir():
+            path = path / "last_save.ckpt"
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        saved_args = json.loads(payload["args"])
+        for k in ("dataset", "seed", "model_cfg", "optim", "task",
+                  "pro_shards"):
+            if k in saved_args and k in self.args \
+                    and saved_args[k] != self.args[k]:
+                raise ValueError(f"resume mismatch on {k!r}")
+        self.records = json.loads(payload["records"])
+        sched = json.loads(payload["scheduler"])
+        self.scheduler.best = sched["best"]
+        self.scheduler.num_bad = int(sched["num_bad"])
+        self.params = serialization.from_bytes(self.params,
+                                               payload["params"])
+        self._best_params = serialization.from_bytes(
+            self._best_params, payload["best_params"])
+        self.opt_state = serialization.from_bytes(self.opt_state,
+                                                  payload["opt_state"])
+        self._key = jnp.asarray(serialization.from_bytes(
+            np.asarray(self._key), payload["key"]))
+        self._wait = int(payload["wait"])
+        self._start_epoch = int(payload["epoch"]) + 1
+        self.log_save_dir = path.parent
+        self.run_id = self.log_save_dir.name
+        self.log(f"resumed from epoch {payload['epoch']}")
+        return self._start_epoch
 
     def log(self, msg=None):
         line = "" if msg is None else str(msg)

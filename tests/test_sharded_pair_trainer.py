@@ -85,3 +85,37 @@ def test_solver_forwards_pro_shards(monkeypatch, tmp_path):
     assert "--pro_shards" in captured["argv"]
     i = captured["argv"].index("--pro_shards")
     assert captured["argv"][i + 1] == "4"
+
+
+def test_resume_continues_bit_identically(tmp_path):
+    """Train 3 epochs straight vs 1 epoch -> resume -> 2 more: same
+    final params (deterministic config so streams replay exactly)."""
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:24], ds.val[:8], ds.test[:8]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 3, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5",
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "_None()"}
+    a = ShardedPairTrainer({**base, "epochs": 3},
+                           ds, task="pair_binary",
+                           work_dir=str(tmp_path / "straight"))
+    a.train()
+    b1 = ShardedPairTrainer({**base, "epochs": 1},
+                            ds, task="pair_binary",
+                            work_dir=str(tmp_path / "resumed"))
+    b1.train()
+    b2 = ShardedPairTrainer({**base, "epochs": 3},
+                            ds, task="pair_binary",
+                            work_dir=str(tmp_path / "resumed2"))
+    b2.resume(b1.log_save_dir)
+    b2.train()
+    fa = jax.tree_util.tree_leaves(a.params)
+    fb = jax.tree_util.tree_leaves(b2.params)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
