@@ -27,7 +27,7 @@ with *global* sender ids.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -221,7 +221,8 @@ def build_halo_exchange(senders_global: np.ndarray, edge_mask: np.ndarray,
 
 
 def build_halo_exchange_ring(senders_global: np.ndarray,
-                             edge_mask: np.ndarray, n_local: int
+                             edge_mask: np.ndarray, n_local: int,
+                             budget_floors: Optional[tuple] = None
                              ) -> Tuple[tuple, tuple, np.ndarray]:
     """Ring-compacted (v3) halo plan: one ``ppermute`` per ring distance
     with a PER-DISTANCE budget, instead of the v2 ``all_to_all``'s single
@@ -264,7 +265,10 @@ def build_halo_exchange_ring(senders_global: np.ndarray,
     budgets = []
     for k in range(1, D):
         h = max(len(need[s][(s + k) % D]) for s in range(D))
-        budgets.append(-(-h // 8) * 8 if h else 0)
+        b = -(-h // 8) * 8 if h else 0
+        if budget_floors is not None:  # shared-shape floor per distance
+            b = max(b, int(budget_floors[k - 1]))
+        budgets.append(b)
     send_idxs = []
     for k in range(1, D):
         idx = np.zeros((D, budgets[k - 1]), np.int32)

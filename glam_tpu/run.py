@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", default=1, type=int,
                    help="data-parallel training over the first N chips "
                         "(batch_size must be divisible by N)")
+    p.add_argument("--halo", default="a2a", type=str,
+                   help="halo plan for --pro_shards: 'a2a' (one "
+                        "all_to_all) or 'ring' (per-distance ppermutes "
+                        "— fewer ICI bytes on banded contact maps)")
     p.add_argument("--pro_shards", default=1, type=int,
                    help="DTI datasets: shard the protein tower over the "
                         "first N devices (node-partitioned giant-graph "

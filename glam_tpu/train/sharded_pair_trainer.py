@@ -77,6 +77,10 @@ class ShardedPairTrainer:
                              f"have {len(devs)}")
         self.n_shards = n
         self.mesh = make_mesh(devs[:n], ("graph",))
+        self.halo = str(args.get("halo", "a2a"))
+        if self.halo not in ("a2a", "ring"):
+            raise ValueError(f"halo must be 'a2a' or 'ring', "
+                             f"got {self.halo!r}")
 
         overrides = {
             "mol_in_dim": dataset.num_node_features,
@@ -148,34 +152,51 @@ class ShardedPairTrainer:
 
     # ------------------------------------------------------------------
     def _plan_pro_budgets(self, pairs):
-        """Corpus-wide (node, edge, halo) floors: plan every distinct
-        protein once unbudgeted, take maxima, then re-plan with floors
-        so one executable serves all."""
+        """Corpus-wide shape floors so one executable serves every
+        protein.  Two passes: the global node budget FIRST (shard
+        boundaries depend on Nl, so edge/halo budgets planned at a
+        protein's own Nl would be wrong), then every distinct protein
+        re-planned AT that node budget to collect the edge-slot and
+        halo maxima (a single global H for 'a2a'; per-distance budgets
+        for 'ring')."""
         from ..parallel.graph_partition import (build_halo_exchange,
+                                                build_halo_exchange_ring,
                                                 split_large_graph)
-        seen, nb, eb, hb = set(), 0, 0, 0
+        nb = max(pro.nodes.shape[0] for _, pro in pairs)
+        seen, eb, hb = set(), 0, 0
+        ring = [0] * (self.n_shards - 1)
         for _, pro in pairs:
             if id(pro) in seen:
                 continue
             seen.add(id(pro))
             nsh, esh, sg, rl, em = split_large_graph(
                 pro.nodes, pro.edges, pro.senders, pro.receivers,
-                self.n_shards)
-            _, _, _, H = build_halo_exchange(sg, em, nsh.shape[1])
-            nb = max(nb, pro.nodes.shape[0])
+                self.n_shards, node_budget=nb)
             eb = max(eb, esh.shape[1])
-            hb = max(hb, H)
-        return nb, eb, hb
+            if self.halo == "ring":
+                _, budgets, _ = build_halo_exchange_ring(
+                    sg, em, nsh.shape[1])
+                ring = [max(a, b) for a, b in zip(ring, budgets)]
+            else:
+                _, _, _, H = build_halo_exchange(sg, em, nsh.shape[1])
+                hb = max(hb, H)
+        return nb, eb, hb, tuple(ring)
 
     def _pro_inputs(self, pro):
         key = id(pro)
         if key not in self._pro_cache:
-            nb, eb, hb = self._pro_budgets
+            nb, eb, hb, ring = self._pro_budgets
+            kw = dict(node_budget=nb, edge_budget=eb)
+            if self.halo == "ring":
+                kw.update(halo="ring", ring_budgets=ring)
+            else:
+                kw.update(halo="a2a", halo_budget=hb)
+            arrs = shard_inputs(pro.nodes, pro.edges, pro.senders,
+                                pro.receivers, self.n_shards, **kw)
             self._pro_cache[key] = tuple(
-                jnp.asarray(a) for a in shard_inputs(
-                    pro.nodes, pro.edges, pro.senders, pro.receivers,
-                    self.n_shards, node_budget=nb, edge_budget=eb,
-                    halo_budget=hb))
+                tuple(jnp.asarray(x) for x in a)
+                if isinstance(a, tuple) else jnp.asarray(a)
+                for a in arrs)
         return self._pro_cache[key]
 
     def _dummy_pro_batch(self, pro):

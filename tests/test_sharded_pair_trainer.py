@@ -119,3 +119,30 @@ def test_resume_continues_bit_identically(tmp_path):
     for x, y in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_ring_halo_trainer_matches_a2a(tmp_path):
+    """halo='ring' in the sharded DTI trainer: same deterministic
+    config trains to the SAME parameters as halo='a2a' (the plans are
+    mathematically equivalent exchanges)."""
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:16], ds.val[:8], ds.test[:8]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 5, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5", "epochs": 2,
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "_None()"}
+    outs = {}
+    for halo in ("a2a", "ring"):
+        tr = ShardedPairTrainer({**base, "halo": halo}, ds,
+                                task="pair_binary",
+                                work_dir=str(tmp_path / halo))
+        tr.train()
+        outs[halo] = jax.tree_util.tree_leaves(tr.params)
+    for x, y in zip(outs["a2a"], outs["ring"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
