@@ -100,12 +100,18 @@ class GLAM:
             argv += ["--pro_shards", str(self.pro_shards)]
         return subprocess.Popen(argv, env=self.env)
 
+    def _config_ok(self, config: Dict) -> bool:
+        if self.pro_shards > 1:
+            from ..train.sharded_pair_trainer import sharded_config_ok
+            return sharded_config_ok(config)
+        return True
+
     def low_fidelity_training(self):
         procs = []
         for i in range(self.n_init_configs):
             config, cid = sample_config(self.dataset, self.dataset_root,
                                         self.seed, self.split_seed, self.rng)
-            while cid in self.searched:
+            while cid in self.searched or not self._config_ok(config):
                 config, cid = sample_config(self.dataset, self.dataset_root,
                                             self.seed, self.split_seed,
                                             self.rng)

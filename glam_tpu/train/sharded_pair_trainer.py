@@ -57,6 +57,20 @@ from .optim import (ReduceLROnPlateau, get_learning_rate, make_optimizer,
 from .pair_trainer import _set_pair_max_nodes
 
 
+def sharded_config_ok(config: dict) -> bool:
+    """True when a sampled DTI config fits the sharded pair path's
+    supported subset (the solver resamples otherwise: the dense path
+    still searches the full space, this is the sharded trainer's
+    honest capability boundary)."""
+    if str(config.get("pre_norm", "_None")).strip() != "_None":
+        return False
+    if str(config.get("flat_norm", "_None")).strip() != "_None":
+        return False
+    if str(config.get("graph_norm", "_None")).strip() == "_BatchNorm":
+        return False
+    return True
+
+
 class ShardedPairTrainer:
     """Giant-protein DTI trainer over a node-sharded mesh."""
 
@@ -82,6 +96,18 @@ class ShardedPairTrainer:
             raise ValueError(f"halo must be 'a2a' or 'ring', "
                              f"got {self.halo!r}")
 
+        for key in ("pre_norm", "flat_norm"):
+            if str(args.get(key, "_None")).strip() != "_None":
+                raise ValueError(
+                    f"--pro_shards: {key} must be '_None' (the sharded "
+                    "protein tower has no pre/flat norm; see "
+                    "SHARDED_SUPPORTED_CONFIG)")
+        if str(args.get("graph_norm", "_None")).strip() == "_BatchNorm":
+            raise ValueError(
+                "--pro_shards: graph_norm '_BatchNorm' is not supported "
+                "on the pair path (the replicated flax molecule tower "
+                "would need mutable batch statistics); use _PairNorm / "
+                "_LayerNorm / _GraphSizeNorm / _None")
         overrides = {
             "mol_in_dim": dataset.num_node_features,
             "mol_edge_in_dim": dataset.num_edge_features,

@@ -146,3 +146,22 @@ def test_ring_halo_trainer_matches_a2a(tmp_path):
     for x, y in zip(outs["a2a"], outs["ring"]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_config_validation():
+    """Unsupported flax-side norms are rejected eagerly with clear
+    errors (the AutoML solver resamples them via sharded_config_ok)."""
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import (ShardedPairTrainer,
+                                                     sharded_config_ok)
+    assert sharded_config_ok({"graph_norm": "_PairNorm"})
+    assert not sharded_config_ok({"pre_norm": "_BatchNorm"})
+    assert not sharded_config_ok({"flat_norm": "_LayerNorm"})
+    assert not sharded_config_ok({"graph_norm": "_BatchNorm"})
+    ds = BindingDBDataset("datasets/dti_demo")
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "epochs": 1,
+            "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1}
+    with pytest.raises(ValueError, match="pre_norm"):
+        ShardedPairTrainer({**base, "pre_norm": "_BatchNorm"}, ds)
+    with pytest.raises(ValueError, match="_BatchNorm"):
+        ShardedPairTrainer({**base, "graph_norm": "_BatchNorm"}, ds)
