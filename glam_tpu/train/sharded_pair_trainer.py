@@ -108,13 +108,18 @@ class ShardedPairTrainer:
                 "on the pair path (the replicated flax molecule tower "
                 "would need mutable batch statistics); use _PairNorm / "
                 "_LayerNorm / _GraphSizeNorm / _None")
+        # sharded pair-head requirement — mutate the FLAT arg too, so
+        # every downstream consumer (AutoML blend rebuild, summary
+        # config strings, resume checks) sees the config that actually
+        # trained
+        args["end_norm"] = "_None"
         overrides = {
             "mol_in_dim": dataset.num_node_features,
             "mol_edge_in_dim": dataset.num_edge_features,
             "pro_in_dim": dataset.pro_num_node_features,
             "pro_edge_in_dim": dataset.pro_num_edge_features,
             "out_dim": args["out_dim"],
-            "end_norm": "_None",  # sharded pair-head requirement
+            "end_norm": "_None",
         }
         _set_pair_max_nodes(overrides, dataset.train + dataset.val
                             + dataset.test, hetero=True)
@@ -369,6 +374,10 @@ class ShardedPairTrainer:
         loss_info = {"testloss": float(test_loss),
                      "valloss": float(val_loss)}
         val_new = {"val" + k: v for k, v in val_result.items()}
+        # the AutoML summary contract (automl/summary.py:read_logs):
+        # literal_eval-able config on the SECOND-TO-LAST line, the
+        # {loss}|{test}|{val} result on the last
+        self.log(str(self.args))
         self.log(f"{loss_info}|{test_result}|{val_new}")
         try:
             with open(self.log_save_dir / "result.json", "w") as f:

@@ -25,9 +25,16 @@ def _run(tmp_path, extra=()):
 class TestShardedDTICLI:
     def test_e2e_train_and_ckpt_roundtrip(self, tmp_path):
         trainer = _run(tmp_path)
-        # final-line contract artifacts
-        log = (trainer.log_save_dir / "log.txt").read_text()
-        assert "|" in log.splitlines()[-1]
+        # final-line contract artifacts (automl/summary.py:read_logs:
+        # literal_eval config at [-2], {loss}|{test}|{val} at [-1])
+        import ast
+        lines = (trainer.log_save_dir / "log.txt").read_text()\
+            .strip().splitlines()
+        assert "|" in lines[-1]
+        cfg = ast.literal_eval(lines[-2])
+        assert cfg["dataset"] == "bindingdb_c"
+        parts = [ast.literal_eval(p) for p in lines[-1].split("|")]
+        assert "valauc" in parts[2]
         res = json.loads(
             (trainer.log_save_dir / "result.json").read_text())
         assert np.isfinite(res["loss"]["testloss"])
