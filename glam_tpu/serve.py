@@ -173,3 +173,125 @@ class EnsemblePredictor:
     def predict_smiles(self, smiles: Sequence[str]) -> np.ndarray:
         return np.mean([p.predict_smiles(smiles)
                         for p in self.predictors], axis=0)
+
+
+class PairPredictor:
+    """Pair-model predictor: DDI (SMILES, SMILES) or DTI (SMILES,
+    protein sequence + contact map) from a PairArchitecture checkpoint
+    — incl. checkpoints trained SHARDED (run.py --pro_shards), which
+    are saved in the same layout."""
+
+    def __init__(self, model, params, args: Dict, hetero: bool,
+                 contact_maps: Optional[Dict] = None):
+        self.model = model
+        self.params = params
+        self.args = args
+        self.hetero = hetero
+        self.contact_maps = contact_maps or {}
+        self.task = args.get("task", "pair_binary")
+        self._pro_cache: Dict[str, GraphArrays] = {}
+
+        def forward(params, b1, b2):
+            return model.apply({"params": params}, b1, b2, True)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, run_dir, which: str = "best_save.ckpt",
+                        contact_maps: Optional[Dict] = None
+                        ) -> "PairPredictor":
+        from .nn.model import ModelConfig, PairArchitecture
+        run_dir = Path(run_dir)
+        with open(run_dir / which, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        args = json.loads(payload["args"])
+        cfg = ModelConfig(**args["model_cfg"])
+        # DDI tasks (pair_binary_bce / pair_multiclass) are homo
+        # two-molecule models; DTI/screening/regression are hetero
+        hetero = args.get("task", "pair_binary") not in (
+            "pair_binary_bce", "pair_multiclass")
+        model = PairArchitecture(cfg, hetero=hetero)
+        b1 = _dummy_batch(cfg)
+        if hetero:
+            g2 = GraphArrays(
+                nodes=np.zeros((2, cfg.pro_in_dim), np.float32),
+                edges=np.zeros((2, cfg.pro_edge_in_dim), np.float32),
+                senders=np.asarray([0, 1], np.int32),
+                receivers=np.asarray([1, 0], np.int32),
+                y=np.zeros(1, np.float32))
+            b2 = next(iter(GraphLoader([g2], 1, 1)))
+        else:
+            b2 = b1
+        variables = model.init(jax.random.PRNGKey(0), b1, b2, True)
+        params = serialization.from_bytes(variables["params"],
+                                          payload["params"])
+        return cls(model, params, args, hetero, contact_maps)
+
+    def _protein(self, seq: str) -> Optional[GraphArrays]:
+        if seq in self._pro_cache:
+            return self._pro_cache[seq]
+        cm = self.contact_maps.get(seq)
+        if cm is None:
+            return None
+        from .chem.proteins import protein_to_arrays
+        nodes, snd, rcv, attr = protein_to_arrays(seq, cm)
+        g = GraphArrays(nodes=nodes, edges=attr, senders=snd,
+                        receivers=rcv, y=np.zeros(1, np.float32),
+                        smi=seq)
+        self._pro_cache[seq] = g
+        return g
+
+    def predict_pairs(self, pairs: Sequence[tuple]) -> np.ndarray:
+        """pairs: (smiles, smiles) for DDI or (smiles, sequence) for
+        DTI.  Returns [N, out] logits; unresolvable inputs yield NaN."""
+        from .data.batching import PairGraphLoader
+        samples: List[Optional[tuple]] = []
+        for a, b in pairs:
+            try:
+                x, snd, rcv, e = featurize_smiles(a)
+                g1 = GraphArrays(nodes=x, edges=e, senders=snd,
+                                 receivers=rcv,
+                                 y=np.zeros(1, np.float32), smi=a)
+            except ValueError:
+                samples.append(None)
+                continue
+            if self.hetero:
+                g2 = self._protein(b)
+            else:
+                try:
+                    x2, s2, r2, e2 = featurize_smiles(b)
+                    g2 = GraphArrays(nodes=x2, edges=e2, senders=s2,
+                                     receivers=r2,
+                                     y=np.zeros(1, np.float32), smi=b)
+                except ValueError:
+                    g2 = None
+            samples.append((g1, g2) if g2 is not None else None)
+        valid = [s for s in samples if s is not None]
+        out_dim = int(self.args.get("out_dim", 1))
+        if valid:
+            outs = []
+            for b1, b2 in PairGraphLoader(valid, 16, 1):
+                out = np.asarray(self._forward(self.params, b1, b2))
+                outs.append(out[np.asarray(b1.graph_mask)])
+            preds = np.concatenate(outs, axis=0)
+        else:
+            preds = np.zeros((0, out_dim), np.float32)
+        width = preds.shape[1] if preds.size else out_dim
+        full = np.full((len(samples), width), np.nan, np.float32)
+        vi = 0
+        for i, s in enumerate(samples):
+            if s is not None:
+                full[i] = preds[vi]
+                vi += 1
+        return full
+
+    def predict_scores(self, pairs: Sequence[tuple]) -> np.ndarray:
+        """Interaction probability per pair (sigmoid for the 1-logit
+        DDI head, softmax P(class 1) for the 2-logit DTI head)."""
+        out = self.predict_pairs(pairs)
+        if self.task == "pair_binary_bce":
+            return 1.0 / (1.0 + np.exp(-out[:, 0]))
+        if self.task in ("pair_binary", "pair_screening"):
+            ex = np.exp(out - np.nanmax(out, axis=-1, keepdims=True))
+            return (ex / ex.sum(-1, keepdims=True))[:, 1]
+        return out[:, 0]

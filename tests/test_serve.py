@@ -1,4 +1,5 @@
 """Serving API tests: checkpoint load + SMILES prediction + ensemble."""
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -62,3 +63,52 @@ class TestPredictor:
         smis = ["CCO", "c1ccccc1"]
         np.testing.assert_allclose(ens.predict_scores(smis),
                                    p.predict_scores(smis), rtol=1e-6)
+
+
+class TestPairPredictor:
+    def test_dti_from_sharded_checkpoint(self, tmp_path):
+        """PairPredictor serves a --pro_shards-trained DTI checkpoint:
+        scores from (SMILES, sequence) pairs match the trainer's own
+        eval forward."""
+        import glam_tpu.run as r
+        if len(jax.devices()) < 4:
+            pytest.skip("needs multi-device mesh")
+        trainer = r.main(["--dataset", "bindingdb_c",
+                          "--dataset_root", "datasets/dti_demo",
+                          "--epochs", "1", "--e_dim", "16",
+                          "--hid_dim_alpha", "2", "--message_steps", "1",
+                          "--pro_shards", "4",
+                          "--work_dir", str(tmp_path)])
+        from glam_tpu.data.pair_datasets import BindingDBDataset
+        from glam_tpu.serve import PairPredictor
+        ds = BindingDBDataset("datasets/dti_demo")
+        pred = PairPredictor.from_checkpoint(
+            trainer.log_save_dir, contact_maps=ds.contact_maps)
+        mol, pro = ds.test[0]
+        scores = pred.predict_scores([(mol.smi, pro.smi),
+                                      ("not a smiles", pro.smi)])
+        assert np.isfinite(scores[0]) and 0.0 <= scores[0] <= 1.0
+        assert np.isnan(scores[1])
+        # parity vs the trainer's own eval on the same pair
+        mol_b, pro_in, _ = trainer._sample(ds.test[0])
+        logits = np.asarray(trainer._infer(trainer.params, mol_b,
+                                           pro_in, 0.0)[0])
+        ex = np.exp(logits - logits.max())
+        want = (ex / ex.sum())[1]
+        np.testing.assert_allclose(scores[0], want, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_ddi_pairs(self, tmp_path):
+        """DDI (homo) checkpoint serves (SMILES, SMILES) pairs."""
+        import glam_tpu.run as r
+        trainer = r.main(["--dataset", "drugbank_caster",
+                          "--dataset_root", "datasets/ddi_demo",
+                          "--epochs", "1", "--batch_size", "32",
+                          "--e_dim", "16", "--hid_dim_alpha", "2",
+                          "--message_steps", "1",
+                          "--work_dir", str(tmp_path)])
+        from glam_tpu.serve import PairPredictor
+        pred = PairPredictor.from_checkpoint(trainer.log_save_dir)
+        assert not pred.hetero
+        s = pred.predict_scores([("CCO", "c1ccncc1"), ("CCN", "CCO")])
+        assert np.isfinite(s).all() and ((0 <= s) & (s <= 1)).all()
