@@ -299,7 +299,55 @@ class ShardedPairTrainer:
                                            jnp.asarray(slope))
 
     # ------------------------------------------------------------------
+    def _probe_compile(self) -> None:
+        """Validated compile for the sharded step (same policy as
+        Trainer._probe_compile; memory/axon-tpu-quirks): with
+        --probe_compile FLOOR (edges/s over the pair's true mol+pro
+        edges), time the compiled sharded train dispatch on the first
+        train pair; below the floor, evict the just-written
+        persistent-cache entries, clear the jit cache and recompile
+        (up to 3 attempts, keeping the last).  Probe steps never assign
+        back to params/opt_state and the noise PRNG key is restored, so
+        training itself is bit-unaffected."""
+        floor = float(self.args.get("probe_compile", 0) or 0)
+        if floor <= 0:
+            return
+        from ..utils.cache import (evict_new_cache_entries,
+                                   snapshot_cache_entries)
+        pair = self.splits["train"][0]
+        edges_per_call = float(pair[0].senders.shape[0]
+                               + pair[1].senders.shape[0])
+        mol_b, pro_in, y = self._sample(pair)
+        key0 = self._key
+        inputs = self._noise(pro_in) if self.stochastic else pro_in
+        self._key = key0  # the probe must not advance the noise stream
+        y = jnp.asarray(y)
+        reps = 3
+        for attempt in range(3):
+            snap = snapshot_cache_entries()
+            p, o, lv = self._step(self.params, self.opt_state, mol_b,
+                                  inputs, y)  # compile + run
+            jax.block_until_ready(lv)
+            t0 = time.time()
+            for _ in range(reps):
+                p, o, lv = self._step(p, o, mol_b, inputs, y)
+            jax.block_until_ready(lv)
+            rate = edges_per_call * reps / max(time.time() - t0, 1e-9)
+            if rate >= floor:
+                self.log(f"compile probe ok: {rate:.3e} edges/s "
+                         f"(attempt {attempt + 1})")
+                return
+            n = evict_new_cache_entries(snap)
+            self.log(f"compile probe SLOW: {rate:.3e} < {floor:.1e} "
+                     f"edges/s; evicted {n} cache entries, recompiling "
+                     f"(attempt {attempt + 1})")
+            jax.clear_caches()
+            self._build_steps()
+        self.log("compile probe: floor not reached after 3 attempts; "
+                 "continuing with the last executable")
+
     def train(self):
+        self._probe_compile()
         epochs = int(self.args.get("epochs", 10))
         patience = int(self.args.get("early_stop_patience", 50))
         seed = int(self.args.get("seed", 1234))

@@ -155,6 +155,39 @@ def test_ring_halo_trainer_matches_a2a(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_probe_compile_sharded(tmp_path):
+    """--probe_compile on the sharded DTI path: a passing floor leaves
+    training bit-identical to a probe-free run (disposable probe state,
+    restored noise key — the config is STOCHASTIC so key restoration is
+    load-bearing); an unreachable floor retries 3x then continues."""
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:8], ds.val[:4], ds.test[:4]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 7, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5", "epochs": 1,
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "Dropout(0.2)"}
+    outs, logs = {}, {}
+    for name, floor in (("off", 0.0), ("ok", 1.0), ("slow", 1e30)):
+        tr = ShardedPairTrainer({**base, "probe_compile": floor}, ds,
+                                task="pair_binary",
+                                work_dir=str(tmp_path / name))
+        tr.train()
+        outs[name] = jax.tree_util.tree_leaves(tr.params)
+        logs[name] = (tr.log_save_dir / "log.txt").read_text()
+    assert "compile probe ok" in logs["ok"]
+    assert logs["slow"].count("compile probe SLOW") == 3
+    assert "floor not reached" in logs["slow"]
+    for other in ("ok", "slow"):
+        for x, y in zip(outs["off"], outs[other]):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_config_validation():
     """Unsupported flax-side norms are rejected eagerly with clear
     errors (the AutoML solver resamples them via sharded_config_ok)."""
