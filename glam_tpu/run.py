@@ -92,8 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(batch_size must be divisible by N)")
     p.add_argument("--halo", default="a2a", type=str,
                    help="halo plan for --pro_shards: 'a2a' (one "
-                        "all_to_all) or 'ring' (per-distance ppermutes "
-                        "— fewer ICI bytes on banded contact maps)")
+                        "all_to_all), 'ring' (per-distance ppermutes "
+                        "— fewer ICI bytes on banded contact maps), or "
+                        "'auto' (plan both over the corpus; ring only "
+                        "when it halves the shipped rows)")
     p.add_argument("--pro_shards", default=1, type=int,
                    help="DTI datasets: shard the protein tower over the "
                         "first N devices (node-partitioned giant-graph "

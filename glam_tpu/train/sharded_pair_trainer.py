@@ -92,8 +92,8 @@ class ShardedPairTrainer:
         self.n_shards = n
         self.mesh = make_mesh(devs[:n], ("graph",))
         self.halo = str(args.get("halo", "a2a"))
-        if self.halo not in ("a2a", "ring"):
-            raise ValueError(f"halo must be 'a2a' or 'ring', "
+        if self.halo not in ("a2a", "ring", "auto"):
+            raise ValueError(f"halo must be 'a2a', 'ring' or 'auto', "
                              f"got {self.halo!r}")
 
         for key in ("pre_norm", "flat_norm"):
@@ -179,6 +179,8 @@ class ShardedPairTrainer:
         self.records = {"val_losses": []}
         self.log(f"sharded DTI trainer: {n} shards, task={task}, "
                  f"stochastic={self.stochastic}")
+        if getattr(self, "_halo_note", None):
+            self.log(self._halo_note)
         self.log(str({k: v for k, v in args.items() if k != "model_cfg"}))
 
     # ------------------------------------------------------------------
@@ -189,10 +191,17 @@ class ShardedPairTrainer:
         protein's own Nl would be wrong), then every distinct protein
         re-planned AT that node budget to collect the edge-slot and
         halo maxima (a single global H for 'a2a'; per-distance budgets
-        for 'ring')."""
+        for 'ring').  halo='auto' plans both and resolves here at the
+        CORPUS level (one executable -> one plan for every sample):
+        ring only when its total padded rows are under half of a2a's
+        D*H, the same 2x threshold as the per-graph shard_inputs auto
+        (ring's D-1 sequential ppermutes cost more dispatch than one
+        all_to_all, so small row savings are not worth it)."""
         from ..parallel.graph_partition import (build_halo_exchange,
                                                 build_halo_exchange_ring,
                                                 split_large_graph)
+        want_ring = self.halo in ("ring", "auto")
+        want_a2a = self.halo in ("a2a", "auto")
         nb = max(pro.nodes.shape[0] for _, pro in pairs)
         seen, eb, hb = set(), 0, 0
         ring = [0] * (self.n_shards - 1)
@@ -204,13 +213,18 @@ class ShardedPairTrainer:
                 pro.nodes, pro.edges, pro.senders, pro.receivers,
                 self.n_shards, node_budget=nb)
             eb = max(eb, esh.shape[1])
-            if self.halo == "ring":
+            if want_ring:
                 _, budgets, _ = build_halo_exchange_ring(
                     sg, em, nsh.shape[1])
                 ring = [max(a, b) for a, b in zip(ring, budgets)]
-            else:
+            if want_a2a:
                 _, _, _, H = build_halo_exchange(sg, em, nsh.shape[1])
                 hb = max(hb, H)
+        if self.halo == "auto":
+            ring_rows, a2a_rows = sum(ring), self.n_shards * hb
+            self.halo = ("ring" if 2 * ring_rows < a2a_rows else "a2a")
+            self._halo_note = (f"halo auto -> {self.halo} (ring rows "
+                               f"{ring_rows} vs a2a rows {a2a_rows})")
         return nb, eb, hb, tuple(ring)
 
     def _pro_inputs(self, pro):

@@ -155,6 +155,43 @@ def test_ring_halo_trainer_matches_a2a(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_halo_auto_resolves_at_corpus_level(tmp_path):
+    """--halo auto: the trainer plans both exchanges over the corpus,
+    resolves to ONE plan (one executable serves every sample), logs the
+    decision, and trains to the same parameters as naming that plan
+    explicitly."""
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:8], ds.val[:4], ds.test[:4]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 11, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5", "epochs": 1,
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "_None()"}
+    auto = ShardedPairTrainer({**base, "halo": "auto"}, ds,
+                              task="pair_binary",
+                              work_dir=str(tmp_path / "auto"))
+    assert auto.halo in ("a2a", "ring")
+    log = (auto.log_save_dir / "log.txt").read_text()
+    assert f"halo auto -> {auto.halo}" in log
+    auto.train()
+    explicit = ShardedPairTrainer({**base, "halo": auto.halo}, ds,
+                                  task="pair_binary",
+                                  work_dir=str(tmp_path / "explicit"))
+    explicit.train()
+    for x, y in zip(jax.tree_util.tree_leaves(auto.params),
+                    jax.tree_util.tree_leaves(explicit.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=0, atol=0)
+    with pytest.raises(ValueError, match="halo"):
+        ShardedPairTrainer({**base, "halo": "bogus"}, ds,
+                           task="pair_binary",
+                           work_dir=str(tmp_path / "bad"))
+
+
 def test_probe_compile_sharded(tmp_path):
     """--probe_compile on the sharded DTI path: a passing floor leaves
     training bit-identical to a probe-free run (disposable probe state,
