@@ -155,6 +155,28 @@ def test_ring_halo_trainer_matches_a2a(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_screening_cli(tmp_path):
+    """--pro_shards on the LIT-PCBA screening family: the weighted-CE
+    sharded loss (class_weights from the dataset) trains and the final
+    line carries the screening metrics (BEDROC/EF@k)."""
+    import ast
+    import glam_tpu.run as r
+    trainer = r.main(["--dataset", "ALDH1",
+                      "--dataset_root", "datasets/scr_demo",
+                      "--epochs", "1", "--e_dim", "16",
+                      "--hid_dim_alpha", "2", "--message_steps", "1",
+                      "--pro_shards", "4", "--halo", "auto",
+                      "--work_dir", str(tmp_path)])
+    assert trainer.task == "pair_screening"
+    assert trainer.class_weights is not None
+    lines = (trainer.log_save_dir / "log.txt").read_text()\
+        .strip().splitlines()
+    parts = [ast.literal_eval(p) for p in lines[-1].split("|")]
+    assert "bedroc" in parts[1] and "ef_001" in parts[1]
+    assert "valbedroc" in parts[2]
+    assert np.isfinite(parts[0]["testloss"])
+
+
 def test_halo_auto_resolves_at_corpus_level(tmp_path):
     """--halo auto: the trainer plans both exchanges over the corpus,
     resolves to ONE plan (one executable serves every sample), logs the
