@@ -41,7 +41,8 @@ class GLAM:
                  high_fidelity_epochs: int = 2000,
                  low_fidelity_epochs: Optional[int] = None,
                  platform: Optional[str] = None,
-                 probe_compile: float = 0.0, pro_shards: int = 1):
+                 probe_compile: float = 0.0, pro_shards: int = 1,
+                 halo: str = "a2a"):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -55,6 +56,7 @@ class GLAM:
         self.platform = platform
         self.probe_compile = float(probe_compile or 0.0)
         self.pro_shards = int(pro_shards or 1)
+        self.halo = str(halo or "a2a")
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
@@ -98,6 +100,8 @@ class GLAM:
             argv += ["--probe_compile", str(self.probe_compile)]
         if self.pro_shards > 1:
             argv += ["--pro_shards", str(self.pro_shards)]
+            if self.halo != "a2a":
+                argv += ["--halo", self.halo]
         return subprocess.Popen(argv, env=self.env)
 
     def _config_ok(self, config: Dict) -> bool:

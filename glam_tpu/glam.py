@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DTI searches: run every trial with the protein "
                         "tower sharded over N devices (run.py "
                         "--pro_shards)")
+    p.add_argument("--halo", default="a2a", type=str,
+                   help="halo plan for --pro_shards trials: 'a2a', "
+                        "'ring', or 'auto' (see run.py --halo)")
     return p
 
 
@@ -54,7 +57,7 @@ def main(argv=None):
         high_fidelity_epochs=args.high_fidelity_epochs,
         low_fidelity_epochs=args.low_fidelity_epochs,
         platform=args.platform, probe_compile=args.probe_compile,
-        pro_shards=args.pro_shards)
+        pro_shards=args.pro_shards, halo=args.halo)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver

@@ -73,7 +73,7 @@ def test_solver_forwards_pro_shards(monkeypatch, tmp_path):
     from glam_tpu.automl.solver import GLAM
     solver = GLAM(dataset="bindingdb_c",
                   dataset_root="datasets/dti_demo",
-                  work_dir=str(tmp_path), pro_shards=4)
+                  work_dir=str(tmp_path), pro_shards=4, halo="auto")
     captured = {}
 
     class _P:
@@ -92,6 +92,8 @@ def test_solver_forwards_pro_shards(monkeypatch, tmp_path):
     assert "--pro_shards" in captured["argv"]
     i = captured["argv"].index("--pro_shards")
     assert captured["argv"][i + 1] == "4"
+    j = captured["argv"].index("--halo")
+    assert captured["argv"][j + 1] == "auto"
 
 
 def test_resume_continues_bit_identically(tmp_path):
