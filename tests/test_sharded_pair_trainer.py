@@ -216,6 +216,54 @@ def test_halo_auto_resolves_at_corpus_level(tmp_path):
                            work_dir=str(tmp_path / "bad"))
 
 
+def test_halo_auto_picks_ring_on_banded_corpus(tmp_path):
+    """The trainer's corpus-level auto flips to ring where it should:
+    banded contact maps at 8 shards (a2a's D*H budget ships >2x the
+    rows the per-distance ring plan does).  The ring-resolved trainer
+    completes a training epoch."""
+    import numpy as np
+    from glam_tpu.data.graph import GraphArrays
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    base_ds = BindingDBDataset("datasets/dti_demo")
+    L = 256
+    s, r = [], []
+    for i in range(L - 1):
+        s += [i, i + 1]
+        r += [i + 1, i]
+    pro = GraphArrays(
+        nodes=np.random.RandomState(0).randn(L, 49).astype(np.float32),
+        edges=np.ones((len(s), 8), np.float32),
+        senders=np.asarray(s, np.int32),
+        receivers=np.asarray(r, np.int32),
+        y=np.zeros(1, np.float32))
+    mols = [p[0] for p in base_ds.train[:6]]
+    pairs = [(m, pro) for m in mols]
+
+    class _DS:
+        num_node_features = 15
+        num_edge_features = 4
+        pro_num_node_features = 49
+        pro_num_edge_features = 8
+    ds = _DS()
+    ds.train, ds.val, ds.test = pairs[:4], pairs[4:5], pairs[5:6]
+    tr = ShardedPairTrainer(
+        {"dataset": "bindingdb_c", "pro_shards": 8, "halo": "auto",
+         "lr": 1e-3, "seed": 2, "e_dim": 16, "hid_dim_alpha": 2,
+         "message_steps": 1, "mol_block": "_TripletMessage",
+         "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+         "mol_readout": "GlobalPool5", "epochs": 1,
+         "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+         "end_act": "CELU", "graph_do": "_None()"},
+        ds, task="pair_binary", work_dir=str(tmp_path))
+    assert tr.halo == "ring"
+    assert "halo auto -> ring" in tr._halo_note
+    tr.train()
+    assert np.isfinite(tr.records["val_losses"][-1])
+
+
 def test_probe_compile_sharded(tmp_path):
     """--probe_compile on the sharded DTI path: a passing floor leaves
     training bit-identical to a probe-free run (disposable probe state,
