@@ -57,6 +57,10 @@ class GLAM:
         self.probe_compile = float(probe_compile or 0.0)
         self.pro_shards = int(pro_shards or 1)
         self.halo = str(halo or "a2a")
+        if self.halo not in ("a2a", "ring", "auto"):
+            # fail here, not in every trial subprocess
+            raise ValueError(f"halo must be 'a2a', 'ring' or 'auto', "
+                             f"got {self.halo!r}")
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
