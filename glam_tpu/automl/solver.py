@@ -61,6 +61,12 @@ class GLAM:
             # fail here, not in every trial subprocess
             raise ValueError(f"halo must be 'a2a', 'ring' or 'auto', "
                              f"got {self.halo!r}")
+        if self.halo != "a2a" and self.pro_shards <= 1:
+            # --halo only reaches trials on the sharded path; dropping
+            # it silently would contradict the eager validation above
+            raise ValueError(
+                f"halo={self.halo!r} requires pro_shards > 1 (the halo "
+                "exchange only exists on the sharded protein path)")
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:

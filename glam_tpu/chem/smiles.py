@@ -7,8 +7,12 @@ framework needs from first principles:
 
   * full SMILES grammar: organic subset + bracket atoms, charges, isotopes,
     explicit H counts, ring closures (incl. %nn), branches, all bond
-    symbols, dot-disconnections, chirality tokens (parsed, ignored),
-    directional bonds (parsed as single),
+    symbols, dot-disconnections, chirality tags (``@``/``@@`` incl.
+    ``@TH1/2`` — recorded with the as-written neighbor order and made
+    spelling-invariant by :mod:`glam_tpu.chem.stereo`; they are
+    LOAD-BEARING for molecule identity, see ``molecule_key``),
+    directional bonds (``/`` ``\\`` — single bond order, orientation
+    recorded for cis/trans identity),
   * implicit hydrogen counting via standard valences,
   * aromatic ring perception for Kekulé-written rings (Hückel 4n+2 over
     candidate rings) so `C1=CC=CC=C1` and `c1ccccc1` featurize identically,

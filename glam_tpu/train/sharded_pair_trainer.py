@@ -351,14 +351,19 @@ class ShardedPairTrainer:
                 self.log(f"compile probe ok: {rate:.3e} edges/s "
                          f"(attempt {attempt + 1})")
                 return
+            if attempt == 2:
+                # keep the final executable: evicting/clearing here
+                # would force an unvalidated 4th compile on the first
+                # real training step
+                self.log("compile probe: floor not reached after 3 "
+                         "attempts; continuing with the last executable")
+                return
             n = evict_new_cache_entries(snap)
             self.log(f"compile probe SLOW: {rate:.3e} < {floor:.1e} "
                      f"edges/s; evicted {n} cache entries, recompiling "
                      f"(attempt {attempt + 1})")
             jax.clear_caches()
             self._build_steps()
-        self.log("compile probe: floor not reached after 3 attempts; "
-                 "continuing with the last executable")
 
     def train(self):
         self._probe_compile()
@@ -498,8 +503,13 @@ class ShardedPairTrainer:
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         saved_args = json.loads(payload["args"])
+        # 'halo' compares the RAW flag: ring and a2a only agree to
+        # ~1e-5, so silently switching the exchange plan mid-run would
+        # break the bit-identical resume guarantee ('auto' re-resolves
+        # deterministically on the same corpus, so flag equality
+        # suffices)
         for k in ("dataset", "seed", "model_cfg", "optim", "task",
-                  "pro_shards"):
+                  "pro_shards", "halo"):
             if k in saved_args and k in self.args \
                     and saved_args[k] != self.args[k]:
                 raise ValueError(f"resume mismatch on {k!r}")

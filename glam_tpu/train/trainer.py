@@ -576,13 +576,19 @@ class Trainer:
                 self.log(f"compile probe ok: {rate:.3e} edges/s "
                          f"(attempt {attempt + 1})", with_time=True)
                 return
+            if attempt == 2:
+                # keep the final executable: evicting/clearing here
+                # would force an unvalidated 4th compile on the first
+                # real training step
+                self.log("compile probe: floor not reached after 3 "
+                         "attempts; continuing with the last executable",
+                         with_time=True)
+                return
             n = evict_new_cache_entries(snap)
             self.log(f"compile probe SLOW: {rate:.3e} < {floor:.1e} "
                      f"edges/s; evicted {n} cache entries, recompiling "
                      f"(attempt {attempt + 1})", with_time=True)
             jax.clear_caches()
-        self.log("compile probe: floor not reached after 3 attempts; "
-                 "continuing with the last executable", with_time=True)
 
     def train(self):
         self.log("Training start...")
