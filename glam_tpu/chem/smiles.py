@@ -39,6 +39,22 @@ _VALENCES = {
     "H": (1,),
 }
 
+# Maximum permitted valence per element for input sanitization — the
+# RDKit default-valence table (maximum of each valence list).  RDKit
+# REJECTS molecules whose explicit valence exceeds this (Atom.cpp
+# calculateExplicitValence), and the reference SKIPS such rows
+# (/root/reference/src_1gp/dataset.py:129,151-158 is_valid_smiles), so
+# accepting them here would silently change dataset membership on dirty
+# real corpora.  Elements absent from this table (most metals, '*') are
+# unchecked, like RDKit's -1 ("no limit") entries.
+_MAX_VALENCE = {
+    "H": 1, "He": 0, "Li": 1, "Be": 2, "B": 3, "C": 4, "N": 3, "O": 2,
+    "F": 1, "Ne": 0, "Na": 1, "Mg": 2, "Al": 3, "Si": 4, "P": 5, "S": 6,
+    "Cl": 1, "Ar": 0, "K": 1, "Ca": 2, "Ga": 3, "Ge": 4, "As": 5,
+    "Se": 6, "Br": 1, "Kr": 0, "Rb": 1, "Sr": 2, "Te": 6, "I": 1,
+    "Xe": 0, "Cs": 1, "Ba": 2,
+}
+
 _ATOMIC_NUM = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
     "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
@@ -171,10 +187,70 @@ def _parse_bracket(body: str) -> Atom:
                 isotope=int(m.group("iso") or 0), in_bracket=True)
 
 
-def parse_smiles(smiles: str) -> Mol:
+def _validate_valence(mol: Mol, written_orders: List[int]) -> None:
+    """RDKit-parity valence sanitization (default ON, mirrored
+    byte-exactly by native/csrc/glam_native.cpp).
+
+    Deliberately SELF-CONTAINED — it recomputes a conservative valence
+    from the AS-WRITTEN bond orders instead of consuming each
+    implementation's internal ``num_h``, so the Python oracle and the
+    C++ twin cannot drift in accept/reject behavior:
+
+      * written aromatic bonds contribute 1 (the minimal Kekulé
+        contribution — an aromatic atom may legitimately carry one more
+        ring double bond, so this under-counts by at most 1 and never
+        over-rejects valid aromatic systems);
+      * implicit H uses the Daylight smallest-sufficient-valence rule on
+        that sum, which by construction never exceeds the element
+        maximum — so only brackets (explicit H) and raw bond sums can;
+      * RDKit's isoelectronic charge rule: elements with >= 4 outer
+        electrons check valence - charge, electropositive ones
+        valence + charge (so [NH4+], [BH4-], [O-] all pass).
+
+    Known remaining deltas vs RDKit sanitization (documented, accepted):
+      * no kekulization check — an aromatic-written ring with no valid
+        Kekulé assignment (e.g. ``c1ccc1``) is accepted here, RDKit
+        rejects it;
+      * aromatic atoms use the minimal-Kekulé model above, so an
+        aromatic atom whose every Kekulé structure is hypervalent
+        could slip through;
+      * no radical/spin accounting (RDKit does none at parse either).
+    """
+    for i, atom in enumerate(mol.atoms):
+        limit = _MAX_VALENCE.get(atom.symbol)
+        if limit is None or atom.symbol == "*":
+            continue
+        wsum = 0.0
+        for bi in atom.bonds:
+            o = written_orders[bi]
+            wsum += 1.0 if o == AROMATIC else _BOND_ORDER[o]
+        need = int(-(-wsum // 1))  # ceil
+        if atom.in_bracket:
+            h = atom.explicit_h or 0
+        else:
+            h = 0
+            for v in _VALENCES.get(atom.symbol, ()):
+                if v >= need:
+                    h = v - need
+                    break
+        valence = need + h
+        ve = _VALENCE_ELECTRONS.get(atom.symbol, 0)
+        effective = valence - atom.charge if ve >= 4 \
+            else valence + atom.charge
+        if effective > limit:
+            raise SmilesError(
+                f"valence {effective} on atom {i} ({atom.symbol}, "
+                f"charge {atom.charge:+d}) exceeds the permitted "
+                f"{limit} (RDKit-parity sanitization)")
+
+
+def parse_smiles(smiles: str, validate: bool = True) -> Mol:
     """Parse a SMILES string into a :class:`Mol` (H atoms implicit).
 
-    Raises :class:`SmilesError` on malformed input.
+    Raises :class:`SmilesError` on malformed input, and (with the
+    default ``validate=True``) on chemically impossible valences that
+    RDKit's sanitization rejects — so dataset membership matches the
+    reference's skip-row behavior on dirty corpora.
     """
     mol = Mol()
     prev: Optional[int] = None
@@ -292,7 +368,10 @@ def parse_smiles(smiles: str) -> Mol:
         raise SmilesError(f"unclosed ring bonds: {sorted(rings)}")
     if stack:
         raise SmilesError("unbalanced '('")
+    written_orders = [b.order for b in mol.bonds]
     _finalize(mol)
+    if validate:
+        _validate_valence(mol, written_orders)
     return mol
 
 

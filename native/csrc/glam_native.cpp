@@ -78,6 +78,17 @@ const std::map<std::string, int> kValenceElectrons = {
     {"As", 5}, {"O", 6}, {"S", 6}, {"Se", 6}, {"Te", 6}, {"F", 7},
     {"Cl", 7}, {"Br", 7}, {"I", 7}};
 
+// RDKit-parity maximum permitted valence (mirrors smiles.py
+// _MAX_VALENCE byte-exactly; elements absent are unchecked, like
+// RDKit's -1 "no limit" entries).
+const std::map<std::string, int> kMaxValence = {
+    {"H", 1},  {"He", 0}, {"Li", 1}, {"Be", 2}, {"B", 3},  {"C", 4},
+    {"N", 3},  {"O", 2},  {"F", 1},  {"Ne", 0}, {"Na", 1}, {"Mg", 2},
+    {"Al", 3}, {"Si", 4}, {"P", 5},  {"S", 6},  {"Cl", 1}, {"Ar", 0},
+    {"K", 1},  {"Ca", 2}, {"Ga", 3}, {"Ge", 4}, {"As", 5}, {"Se", 6},
+    {"Br", 1}, {"Kr", 0}, {"Rb", 1}, {"Sr", 2}, {"Te", 6}, {"I", 1},
+    {"Xe", 0}, {"Cs", 1}, {"Ba", 2}};
+
 struct ParseError {
   std::string msg;
 };
@@ -455,6 +466,39 @@ void finalize(Mol& mol) {
   }
 }
 
+// RDKit-parity valence sanitization; mirrors smiles.py
+// _validate_valence exactly (self-contained: recomputes from the
+// AS-WRITTEN bond orders so Python and C++ cannot drift in
+// accept/reject behavior).  Aromatic bonds contribute 1 (minimal
+// Kekule); the isoelectronic charge rule checks valence - charge for
+// elements with >= 4 outer electrons, valence + charge otherwise.
+void validate_valence(const Mol& mol, const std::vector<int>& written) {
+  for (const auto& atom : mol.atoms) {
+    auto lim = kMaxValence.find(atom.symbol);
+    if (lim == kMaxValence.end() || atom.symbol == "*") continue;
+    double wsum = 0.0;
+    for (int bi : atom.bonds)
+      wsum += written[bi] == AROMATIC ? 1.0 : (double)written[bi];
+    int need = (int)std::ceil(wsum);
+    int h = 0;
+    if (atom.in_bracket) {
+      h = atom.explicit_h < 0 ? 0 : atom.explicit_h;
+    } else {
+      auto it = kValences.find(atom.symbol);
+      if (it != kValences.end())
+        for (int v : it->second)
+          if (v >= need) { h = v - need; break; }
+    }
+    int valence = need + h;
+    auto ve = kValenceElectrons.find(atom.symbol);
+    int outer = ve == kValenceElectrons.end() ? 0 : ve->second;
+    int effective = outer >= 4 ? valence - atom.charge
+                               : valence + atom.charge;
+    if (effective > lim->second)
+      throw ParseError{"valence exceeds permitted maximum"};
+  }
+}
+
 Mol parse_smiles(const std::string& s) {
   Mol mol;
   int prev = -1;
@@ -549,7 +593,11 @@ Mol parse_smiles(const std::string& s) {
   }
   if (!rings.empty()) throw ParseError{"unclosed ring bonds"};
   if (!stack.empty()) throw ParseError{"unbalanced '('"};
+  std::vector<int> written;
+  written.reserve(mol.bonds.size());
+  for (const auto& b : mol.bonds) written.push_back(b.order);
   finalize(mol);
+  validate_valence(mol, written);
   return mol;
 }
 

@@ -197,3 +197,64 @@ class TestScaffoldRDKitParity:
         m = parse_smiles("In1cccc1")
         assert [a.symbol for a in m.atoms][:2] == ["I", "N"]
         assert len(m.atoms) == 6
+
+
+class TestValenceSanitization:
+    """RDKit-parity input sanitization (VERDICT round-3 item 3): the
+    parser must REJECT chemically impossible valences that RDKit's
+    sanitization rejects, so dataset membership on dirty corpora
+    matches the reference's skip-row behavior
+    (/root/reference/src_1gp/dataset.py:129,151-158)."""
+
+    REJECTS = [
+        "C(C)(C)(C)(C)C",      # pentavalent carbon
+        "[CH5]",               # impossible explicit H count
+        "FF(F)F",              # hypervalent fluorine
+        "CN(=O)=O",            # pentavalent neutral N (nitro spelling)
+        "O=Cl(=O)(=O)O",       # neutral hypervalent chlorine
+        "O=I(=O)c1ccccc1",     # neutral hypervalent iodine
+        "C[Na]C",              # divalent sodium
+        "OO(O)O",              # trivalent oxygen
+        "C=[CH3]",             # CH3 with a double bond = valence 5
+    ]
+    ACCEPTS = [
+        "CCO", "c1ccccc1", "C1=CC=CN1", "c1cc[nH]c1",
+        "[NH4+]",                         # N+ isoelectronic with C
+        "[BH4-]",                         # B- (electropositive +charge)
+        "C[N+](C)(C)C", "C[N+](=O)[O-]",  # charged nitro form
+        "OS(=O)(=O)O", "FS(F)(F)(F)(F)F", # S(VI)
+        "ClP(Cl)(Cl)(Cl)Cl",              # P(V)
+        "[O-][Cl+3]([O-])([O-])[O-]",     # charge-separated perchlorate
+        "[O-]c1ccccc1", "[Na+].[Cl-]", "[2H]OC", "[Fe+2]",
+        "C[Si](C)(C)C", "[H][H]", "B(O)(O)O",
+        "c1ccc2ccccc2c1", "C1=CC2=CC=CC2=C1",  # fused aromatics
+    ]
+
+    def test_rejects(self):
+        from glam_tpu.chem.smiles import SmilesError
+        for smi in self.REJECTS:
+            with pytest.raises(SmilesError):
+                parse_smiles(smi)
+
+    def test_accepts(self):
+        for smi in self.ACCEPTS:
+            parse_smiles(smi)  # must not raise
+
+    def test_validate_opt_out(self):
+        # tools that need RDKit-free leniency can opt out explicitly
+        m = parse_smiles("CN(=O)=O", validate=False)
+        assert len(m.atoms) == 4
+
+    def test_dataset_membership(self, tmp_path):
+        # a dirty corpus row is SKIPPED (reference parity), not trained on
+        from glam_tpu.data.datasets import MolDataset
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        rows = ["CCO,1", "C(C)(C)(C)(C)C,0", "c1ccccc1,1", "CCN,0",
+                "CN(=O)=O,1", "CCCC,0", "CCOC,1", "CCCO,0", "CC=C,1",
+                "CCC#N,0"]
+        (raw / "demo.csv").write_text(
+            "smiles,label\n" + "\n".join(rows) + "\n")
+        ds = MolDataset(str(tmp_path), dataset="demo")
+        total = len(ds.train) + len(ds.val) + len(ds.test)
+        assert total == 8  # pentavalent-C and nitro-N rows are gone

@@ -104,3 +104,20 @@ class TestNativePackBatch:
         graphs = graphs_from_smiles(SMILES_SET)
         with pytest.raises(ValueError):
             pad_graphs(graphs, 6, 16, 16, 1)
+
+
+class TestNativeValenceAgreement:
+    """The C++ twin must make the SAME accept/reject decision as the
+    Python oracle on RDKit-invalid inputs — with the native featurizer
+    default-ON, a disagreement would silently change dataset membership
+    depending on which backend built the corpus."""
+
+    def test_probe_agreement(self):
+        from tests.test_chem import TestValenceSanitization as TV
+        for smi in TV.REJECTS:
+            with pytest.raises(ValueError):
+                native.smiles_to_arrays_native(smi)
+        for smi in TV.ACCEPTS:
+            xp, sp, rp, ep = smiles_to_arrays(smi)
+            xn, sn, rn, en = native.smiles_to_arrays_native(smi)
+            np.testing.assert_array_equal(xn, xp)

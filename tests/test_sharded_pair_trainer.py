@@ -289,7 +289,10 @@ def test_probe_compile_sharded(tmp_path):
         outs[name] = jax.tree_util.tree_leaves(tr.params)
         logs[name] = (tr.log_save_dir / "log.txt").read_text()
     assert "compile probe ok" in logs["ok"]
-    assert logs["slow"].count("compile probe SLOW") == 3
+    # the FINAL attempt keeps its executable instead of evicting it
+    # (evicting would force an unvalidated 4th compile on the first
+    # real step), so only the first two failures log SLOW
+    assert logs["slow"].count("compile probe SLOW") == 2
     assert "floor not reached" in logs["slow"]
     for other in ("ok", "slow"):
         for x, y in zip(outs["off"], outs[other]):
