@@ -77,6 +77,39 @@ SP, SP2, SP3, OTHER_HYB = 1, 2, 3, 0
 
 CHIRAL_NONE, CHIRAL_CCW, CHIRAL_CW = 0, 1, 2  # none / '@' / '@@'
 
+# ---------------------------------------------------------------------------
+# Exotic stereo classes (@AL allene / @SP square-planar / @TB trigonal-
+# bipyramidal / @OH octahedral) are parsed but carry NO canonical
+# descriptor (chem/stereo.py handles tetrahedral + cis/trans only), so
+# molecules differing only in such a tag merge into ONE identity —
+# unlike the reference's isomericSmiles=True dedup
+# (/root/reference/src_2gi_ddi/dataset.py:118-124).  The merge is rare
+# in drug corpora but must not be silent: every dropped tag is counted
+# here and warned about once per class; dataset loaders print the
+# corpus total so reports show how many identities merged.
+_EXOTIC_STEREO_RE = re.compile(r"@(AL|SP|TB|OH)\d+$")
+_exotic_stereo_counts: Dict[str, int] = {}
+
+
+def _record_exotic_stereo(cls: str) -> None:
+    import warnings
+    _exotic_stereo_counts[cls] = _exotic_stereo_counts.get(cls, 0) + 1
+    warnings.warn(
+        f"SMILES @{cls} stereo tag has no canonical descriptor and is "
+        "DROPPED for molecule identity: stereoisomers differing only "
+        "in this tag merge into one key (counted; see "
+        "exotic_stereo_counts())", UserWarning, stacklevel=4)
+
+
+def exotic_stereo_counts() -> Dict[str, int]:
+    """Per-class count of exotic stereo tags dropped since the last
+    :func:`reset_exotic_stereo_counts` (corpus-report surface)."""
+    return dict(_exotic_stereo_counts)
+
+
+def reset_exotic_stereo_counts() -> None:
+    _exotic_stereo_counts.clear()
+
 
 @dataclass
 class Atom:
@@ -181,7 +214,10 @@ def _parse_bracket(body: str) -> Atom:
     elif chi in ("@", "@TH1"):
         chiral = CHIRAL_CCW
     else:
-        chiral = CHIRAL_NONE  # @AL/@SP/@TB/@OH classes unsupported
+        chiral = CHIRAL_NONE
+        em = _EXOTIC_STEREO_RE.match(chi)
+        if em:  # @AL/@SP/@TB/@OH: dropped LOUDLY (counted + warned)
+            _record_exotic_stereo(em.group(1))
     return Atom(symbol=sym if sym != "*" else "*", aromatic=aromatic,
                 charge=charge, explicit_h=explicit_h, chiral=chiral,
                 isotope=int(m.group("iso") or 0), in_bracket=True)

@@ -60,6 +60,12 @@ class DDIDataset:
         df = pd.read_csv(csv)
         self.mol_store: Dict[str, GraphArrays] = {}
         pairs: List[Tuple[str, str, float]] = []
+        # exotic stereo tags (@AL/@SP/@TB/@OH) carry no canonical
+        # descriptor, so spellings differing only in such a tag merge
+        # into ONE store key — count and report so the corpus report
+        # shows how many identities merged (VERDICT round-3 item 6)
+        from ..chem.smiles import exotic_stereo_counts
+        exotic_before = sum(exotic_stereo_counts().values())
         for s1, s2, y in zip(df["Drug1_SMILES"], df["Drug2_SMILES"],
                              df["label"]):
             k1 = self._featurize(str(s1))
@@ -68,6 +74,12 @@ class DDIDataset:
                 continue
             pairs.append((k1, k2, float(y)))
         self.pairs = pairs
+        self.n_exotic_stereo_dropped = (
+            sum(exotic_stereo_counts().values()) - exotic_before)
+        if self.n_exotic_stereo_dropped:
+            print(f"[{dataset}] dropped {self.n_exotic_stereo_dropped} "
+                  "exotic stereo tags (@AL/@SP/@TB/@OH): those "
+                  "stereoisomer identities merged in the molecule store")
         self.num_tasks = 1
         labels = {p[2] for p in pairs}
         if num_classes is not None:
