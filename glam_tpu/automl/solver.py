@@ -42,7 +42,7 @@ class GLAM:
                  low_fidelity_epochs: Optional[int] = None,
                  platform: Optional[str] = None,
                  probe_compile: float = 0.0, pro_shards: int = 1,
-                 halo: str = "a2a"):
+                 halo: str = "a2a", pair_batch: int = 1):
         self.dataset = dataset
         self.dataset_root = dataset_root
         self.n_init_configs = n_init_configs
@@ -67,6 +67,11 @@ class GLAM:
             raise ValueError(
                 f"halo={self.halo!r} requires pro_shards > 1 (the halo "
                 "exchange only exists on the sharded protein path)")
+        self.pair_batch = int(pair_batch or 1)
+        if self.pair_batch > 1 and self.pro_shards <= 1:
+            raise ValueError(
+                f"pair_batch={self.pair_batch} requires pro_shards > 1 "
+                "(dense trials batch via the searched batch_size)")
         from ..utils.cache import enable_compilation_cache
         enable_compilation_cache()  # blend/PASP compile in this process
         if platform:
@@ -112,6 +117,8 @@ class GLAM:
             argv += ["--pro_shards", str(self.pro_shards)]
             if self.halo != "a2a":
                 argv += ["--halo", self.halo]
+            if self.pair_batch > 1:
+                argv += ["--pair_batch", str(self.pair_batch)]
         return subprocess.Popen(argv, env=self.env)
 
     def _config_ok(self, config: Dict) -> bool:

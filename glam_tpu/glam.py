@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--halo", default="a2a", type=str,
                    help="halo plan for --pro_shards trials: 'a2a', "
                         "'ring', or 'auto' (see run.py --halo)")
+    p.add_argument("--pair_batch", default=1, type=int,
+                   help="pairs per optimizer step in --pro_shards "
+                        "trials (see run.py --pair_batch)")
     return p
 
 
@@ -57,7 +60,8 @@ def main(argv=None):
         high_fidelity_epochs=args.high_fidelity_epochs,
         low_fidelity_epochs=args.low_fidelity_epochs,
         platform=args.platform, probe_compile=args.probe_compile,
-        pro_shards=args.pro_shards, halo=args.halo)
+        pro_shards=args.pro_shards, halo=args.halo,
+        pair_batch=args.pair_batch)
     solver.low_fidelity_training()
     solver.auto_blend()
     return solver

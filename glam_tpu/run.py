@@ -102,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "model parallelism with halo exchange; one pair "
                         "per step — for proteins too large for one "
                         "chip). Mutually exclusive with --n_devices > 1")
+    p.add_argument("--pair_batch", default=1, type=int,
+                   help="with --pro_shards: pairs per optimizer step — "
+                        "the replicated molecule tower is vmapped over "
+                        "B pairs and every pair's protein stays "
+                        "node-sharded over the full mesh (one "
+                        "executable; loss = masked mean over the "
+                        "batch). 1 = the giant-protein one-pair regime")
     return p
 
 
@@ -146,6 +153,9 @@ def main(argv=None):
             trainer.resume(resume)
         trainer.train_and_test()
         return trainer
+    if int(args.get("pair_batch", 1)) > 1:
+        raise ValueError("--pair_batch applies to --pro_shards runs "
+                         "only (dense trainers batch via --batch_size)")
     trainer = make_auto_trainer(args, dataset, trainer_kind,
                                 work_dir=args.get("work_dir"))
     if resume:

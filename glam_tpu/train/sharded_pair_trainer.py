@@ -17,7 +17,13 @@ unchanged), early stopping on val loss, and the parseable final
 ``{loss}|{test}|{val}`` line the AutoML layer consumes.
 
 Regime notes (documented restrictions of the sharded path):
-  * one pair per optimizer step (the giant-protein regime);
+  * one pair per optimizer step by default; ``--pair_batch B`` trains
+    B pairs per step (the reference's per-batch pair loop,
+    src_2gi_dti_scr/trainer.py:216-236) — the replicated molecule
+    tower is vmapped over the B pairs while every pair's protein stays
+    node-sharded over the full mesh, loss = masked mean over the batch
+    (short final chunks padded with weight-0 repeats), still ONE
+    compiled executable;
   * every protein is padded to the corpus maxima
     (``shard_inputs(node_budget=..., edge_budget=..., halo_budget=...)``)
     so ALL samples share one compiled executable;
@@ -157,9 +163,12 @@ class ShardedPairTrainer:
         self.stochastic = rate > 0.0 or is_stochastic(
             args.get("graph_act", "CELU"))
         self._drop_rate = rate
-        self.fwd_eval = make_sharded_pair_forward(self.mesh, cfg)
+        self.B = max(1, int(args.get("pair_batch", 1)))
+        self.fwd_eval = make_sharded_pair_forward(self.mesh, cfg,
+                                                  n_pairs=self.B)
         self.fwd_train = (make_sharded_pair_forward(self.mesh, cfg,
-                                                    stochastic=True)
+                                                    stochastic=True,
+                                                    n_pairs=self.B)
                           if self.stochastic else self.fwd_eval)
         self._build_steps()
         self._key = jax.random.PRNGKey(seed + 1)
@@ -178,7 +187,7 @@ class ShardedPairTrainer:
         self.log_save_dir.mkdir(parents=True, exist_ok=True)
         self.records = {"val_losses": []}
         self.log(f"sharded DTI trainer: {n} shards, task={task}, "
-                 f"stochastic={self.stochastic}")
+                 f"stochastic={self.stochastic}, pair_batch={self.B}")
         if getattr(self, "_halo_note", None):
             self.log(self._halo_note)
         self.log(str({k: v for k, v in args.items() if k != "model_cfg"}))
@@ -254,6 +263,22 @@ class ShardedPairTrainer:
                                       edge_budget=eb)))
         return mol_b, self._pro_inputs(pro), float(mol.y[0])
 
+    def _collate(self, chunk):
+        """Stack <=B pairs into one batched step input: short chunks
+        are padded by repeating the last pair at weight 0, so every
+        step runs the SAME executable and padding rows contribute
+        nothing to the masked mean loss."""
+        pairs = list(chunk)
+        w = [1.0] * len(pairs) + [0.0] * (self.B - len(pairs))
+        pairs += [pairs[-1]] * (self.B - len(pairs))
+        mols, pros, ys = zip(*(self._sample(p) for p in pairs))
+        mol_b = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *mols)
+        pro_b = tuple(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *pros))
+        return (mol_b, pro_b, jnp.asarray(ys, jnp.float32),
+                jnp.asarray(w, jnp.float32))
+
     # ------------------------------------------------------------------
     def _loss_fn(self):
         task = self.task
@@ -282,24 +307,48 @@ class ShardedPairTrainer:
         fwd_e = self.fwd_eval
         tx = self.tx
 
-        def objective(params, mol_b, pro_in, y):
-            return loss(fwd_t(params, mol_b, *pro_in), y)
+        if self.B == 1:
+            def objective(params, mol_b, pro_in, y):
+                return loss(fwd_t(params, mol_b, *pro_in), y)
+
+            @jax.jit
+            def step(params, opt_state, mol_b, pro_in, y):
+                lval, grads = jax.value_and_grad(objective)(
+                    params, mol_b, pro_in, y)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, lval
+
+            @jax.jit
+            def infer(params, mol_b, pro_in, y):
+                logits = fwd_e(params, mol_b, *pro_in)
+                return logits, loss(logits, y)
+
+            self._step = step
+            self._infer = infer
+            return
+
+        # batched regime: logits [B, out]; masked mean over the pair
+        # batch (weight-0 rows are padding repeats of the last chunk)
+        def objective_b(params, mol_b, pro_in, y, w):
+            per = jax.vmap(loss)(fwd_t(params, mol_b, *pro_in), y)
+            return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         @jax.jit
-        def step(params, opt_state, mol_b, pro_in, y):
-            lval, grads = jax.value_and_grad(objective)(params, mol_b,
-                                                        pro_in, y)
+        def step_b(params, opt_state, mol_b, pro_in, y, w):
+            lval, grads = jax.value_and_grad(objective_b)(
+                params, mol_b, pro_in, y, w)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, lval
 
         @jax.jit
-        def infer(params, mol_b, pro_in, y):
+        def infer_b(params, mol_b, pro_in, y):
             logits = fwd_e(params, mol_b, *pro_in)
-            return logits, loss(logits, y)
+            return logits, jax.vmap(loss)(logits, y)
 
-        self._step = step
-        self._infer = infer
+        self._step = step_b
+        self._infer = infer_b
 
     def _noise(self, pro_in):
         """Stochastic inputs: (mol_rng,) + noise arrays with the PADDED
@@ -311,6 +360,25 @@ class ShardedPairTrainer:
             self.n_shards, rate=self._drop_rate)
         return (k_mol,) + tuple(pro_in) + (jnp.asarray(drop),
                                            jnp.asarray(slope))
+
+    def _noise_batch(self, pro_in):
+        """Batched stochastic inputs: per-pair mol rngs [B] and noise
+        arrays [B, D, S, Nl, C] — each pair draws its own shard-count-
+        independent noise from a fold_in of one step key."""
+        self._key, k_mol, k_pro = jax.random.split(self._key, 3)
+        n_global = pro_in[0].shape[1] * pro_in[0].shape[2]  # D * Nl
+        drops, slopes = [], []
+        for b in range(self.B):
+            d, s = make_stochastic_inputs(
+                jax.random.fold_in(k_pro, b), n_global,
+                self.cfg.hid_dim, self.cfg.message_steps,
+                self.n_shards, rate=self._drop_rate)
+            drops.append(d)
+            slopes.append(s)
+        mol_rngs = jax.random.split(k_mol, self.B)
+        return ((mol_rngs,) + tuple(pro_in)
+                + (jnp.asarray(np.stack(drops)),
+                   jnp.asarray(np.stack(slopes))))
 
     # ------------------------------------------------------------------
     def _probe_compile(self) -> None:
@@ -328,23 +396,33 @@ class ShardedPairTrainer:
             return
         from ..utils.cache import (evict_new_cache_entries,
                                    snapshot_cache_entries)
-        pair = self.splits["train"][0]
-        edges_per_call = float(pair[0].senders.shape[0]
-                               + pair[1].senders.shape[0])
-        mol_b, pro_in, y = self._sample(pair)
         key0 = self._key
-        inputs = self._noise(pro_in) if self.stochastic else pro_in
+        if self.B == 1:
+            pair = self.splits["train"][0]
+            edges_per_call = float(pair[0].senders.shape[0]
+                                   + pair[1].senders.shape[0])
+            mol_b, pro_in, y = self._sample(pair)
+            inputs = self._noise(pro_in) if self.stochastic else pro_in
+            extra = (jnp.asarray(y),)
+        else:
+            chunk = self.splits["train"][:self.B]
+            edges_per_call = float(sum(
+                p[0].senders.shape[0] + p[1].senders.shape[0]
+                for p in chunk))
+            mol_b, pro_in, y, w = self._collate(chunk)
+            inputs = (self._noise_batch(pro_in) if self.stochastic
+                      else pro_in)
+            extra = (y, w)
         self._key = key0  # the probe must not advance the noise stream
-        y = jnp.asarray(y)
         reps = 3
         for attempt in range(3):
             snap = snapshot_cache_entries()
             p, o, lv = self._step(self.params, self.opt_state, mol_b,
-                                  inputs, y)  # compile + run
+                                  inputs, *extra)  # compile + run
             jax.block_until_ready(lv)
             t0 = time.time()
             for _ in range(reps):
-                p, o, lv = self._step(p, o, mol_b, inputs, y)
+                p, o, lv = self._step(p, o, mol_b, inputs, *extra)
             jax.block_until_ready(lv)
             rate = edges_per_call * reps / max(time.time() - t0, 1e-9)
             if rate >= floor:
@@ -377,14 +455,27 @@ class ShardedPairTrainer:
             order = np.random.RandomState(seed + ep).permutation(
                 len(self.splits["train"]))
             tr_losses = []
-            for i in order:
-                mol_b, pro_in, y = self._sample(self.splits["train"][i])
-                inputs = (self._noise(pro_in) if self.stochastic
-                          else pro_in)
-                self.params, self.opt_state, lv = self._step(
-                    self.params, self.opt_state, mol_b, inputs,
-                    jnp.asarray(y))
-                tr_losses.append(float(lv))
+            if self.B == 1:
+                for i in order:
+                    mol_b, pro_in, y = self._sample(
+                        self.splits["train"][i])
+                    inputs = (self._noise(pro_in) if self.stochastic
+                              else pro_in)
+                    self.params, self.opt_state, lv = self._step(
+                        self.params, self.opt_state, mol_b, inputs,
+                        jnp.asarray(y))
+                    tr_losses.append(float(lv))
+            else:
+                for lo in range(0, len(order), self.B):
+                    chunk = [self.splits["train"][i]
+                             for i in order[lo:lo + self.B]]
+                    mol_b, pro_in, y, w = self._collate(chunk)
+                    inputs = (self._noise_batch(pro_in)
+                              if self.stochastic else pro_in)
+                    self.params, self.opt_state, lv = self._step(
+                        self.params, self.opt_state, mol_b, inputs,
+                        y, w)
+                    tr_losses.append(float(lv))
             val_loss, val_m = self.valid_iterations("valid")
             self.records["val_losses"].append(val_loss)
             lr = get_learning_rate(self.opt_state)
@@ -411,13 +502,23 @@ class ShardedPairTrainer:
         split = self.splits["test" if mode == "test"
                             and self.splits["test"] else "valid"]
         ys, outs, losses = [], [], []
-        for pair in split:
-            mol_b, pro_in, y = self._sample(pair)
-            logits, lv = self._infer(self.params, mol_b, pro_in,
-                                     jnp.asarray(y))
-            ys.append(y)
-            outs.append(np.asarray(logits))
-            losses.append(float(lv))
+        if self.B == 1:
+            for pair in split:
+                mol_b, pro_in, y = self._sample(pair)
+                logits, lv = self._infer(self.params, mol_b, pro_in,
+                                         jnp.asarray(y))
+                ys.append(y)
+                outs.append(np.asarray(logits))
+                losses.append(float(lv))
+        else:
+            for lo in range(0, len(split), self.B):
+                chunk = split[lo:lo + self.B]
+                mol_b, pro_in, y, w = self._collate(chunk)
+                logits, lv = self._infer(self.params, mol_b, pro_in, y)
+                n_real = len(chunk)
+                ys.extend(np.asarray(y)[:n_real].tolist())
+                outs.extend(np.asarray(logits)[:n_real])
+                losses.extend(np.asarray(lv)[:n_real].tolist())
         out = np.stack(outs)
         yt = np.asarray(ys)
         mean_loss = float(np.mean(losses))
@@ -509,7 +610,7 @@ class ShardedPairTrainer:
         # deterministically on the same corpus, so flag equality
         # suffices)
         for k in ("dataset", "seed", "model_cfg", "optim", "task",
-                  "pro_shards", "halo"):
+                  "pro_shards", "halo", "pair_batch"):
             if k in saved_args and k in self.args \
                     and saved_args[k] != self.args[k]:
                 raise ValueError(f"resume mismatch on {k!r}")

@@ -944,3 +944,138 @@ def test_track_bn_stats_requires_norm_ra_eagerly():
     inputs = tuple(jnp.asarray(a) for a in shard_inputs(*giant, D))
     with pytest.raises(ValueError, match="norm_ra"):
         step(params, inputs, jnp.asarray(0.4))
+
+
+# ---------------------------------------------------------------------------
+# Batched sharded pair regime (n_pairs = B > 1, VERDICT round-3 item 1)
+# ---------------------------------------------------------------------------
+
+def _stack_pro_inputs(pros, D, halo="a2a"):
+    """Shard B proteins at SHARED corpus budgets (the trainer's
+    two-pass planning, sharded_pair_trainer._plan_pro_budgets) and
+    stack leaf-wise to [B, D, ...]."""
+    from glam_tpu.parallel.graph_partition import (build_halo_exchange,
+                                                   build_halo_exchange_ring,
+                                                   split_large_graph)
+    nb = max(p[0].shape[0] for p in pros)
+    eb, hb = 0, 0
+    ring = None
+    for p in pros:
+        nsh, esh, sg, rl, em = split_large_graph(*p, D, node_budget=nb)
+        eb = max(eb, esh.shape[1])
+        if halo == "ring":
+            _, budgets, _ = build_halo_exchange_ring(sg, em, nsh.shape[1])
+            ring = budgets if ring is None else [
+                max(a, b) for a, b in zip(ring, budgets)]
+        else:
+            _, _, _, H = build_halo_exchange(sg, em, nsh.shape[1])
+            hb = max(hb, H)
+    per = []
+    for p in pros:
+        kw = dict(node_budget=nb, edge_budget=eb)
+        if halo == "ring":
+            kw.update(halo="ring", ring_budgets=ring)
+        else:
+            kw.update(halo_budget=hb)
+        per.append(tuple(
+            tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
+            else jnp.asarray(a) for a in shard_inputs(*p, D, **kw)))
+    return tuple(jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per))
+
+
+class TestBatchedPairForward:
+    B = 3
+
+    def _setup(self, halo="a2a"):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward)
+        mols, pros, g1s = [], [], []
+        cfg = _pair_cfg(240)
+        for b in range(self.B):
+            mol, pro = _pair_setup(seed=10 + b)
+            mols.append(mol)
+            pros.append(pro)
+        model, g1, g2, variables = _pair_batches_and_model(
+            mols[0], pros[0], cfg)
+        for mol in mols:
+            g1s.append(next(iter(GraphLoader([GraphArrays(
+                nodes=mol[0], edges=mol[1], senders=mol[2],
+                receivers=mol[3], y=np.zeros(1, np.float32))], 1, 1))))
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool")
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        stacked_mols = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *g1s)
+        stacked_pro = _stack_pro_inputs(pros, D, halo=halo)
+        fwd_b = make_sharded_pair_forward(mesh, cfg, n_pairs=self.B)
+        fwd_1 = make_sharded_pair_forward(mesh, cfg)
+        return (params, mesh, cfg, g1s, pros, stacked_mols, stacked_pro,
+                fwd_b, fwd_1)
+
+    def test_rows_match_unbatched(self):
+        (params, mesh, cfg, g1s, pros, sm, sp, fwd_b, fwd_1) = \
+            self._setup()
+        got = np.asarray(fwd_b(params, sm, *sp))
+        assert got.shape[0] == self.B
+        for b in range(self.B):
+            per = tuple(jax.tree_util.tree_map(lambda x: x[b], sp))
+            want = np.asarray(fwd_1(params, g1s[b], *per))
+            np.testing.assert_allclose(got[b], want, rtol=1e-5,
+                                       atol=1e-6)
+
+    def test_ring_halo_batched(self):
+        (params, _, _, g1s, pros, sm, _, fwd_b, _) = self._setup()
+        sp_ring = _stack_pro_inputs(pros, D, halo="ring")
+        sp_a2a = _stack_pro_inputs(pros, D, halo="a2a")
+        a = np.asarray(fwd_b(params, sm, *sp_a2a))
+        r = np.asarray(fwd_b(params, sm, *sp_ring))
+        np.testing.assert_allclose(r, a, rtol=1e-5, atol=1e-6)
+
+    def test_batched_grads_are_mean_of_per_pair(self):
+        (params, mesh, cfg, g1s, pros, sm, sp, fwd_b, fwd_1) = \
+            self._setup()
+        ys = jnp.asarray([0.2, 0.7, -0.4])
+
+        def batched_loss(p):
+            out = fwd_b(p, sm, *sp)[:, 0]
+            return jnp.mean((out - ys) ** 2)
+
+        got = jax.grad(batched_loss)(params)
+
+        def pair_loss(p, b):
+            per = tuple(jax.tree_util.tree_map(lambda x: x[b], sp))
+            return (fwd_1(p, g1s[b], *per)[0] - ys[b]) ** 2
+
+        refs = [jax.grad(lambda p, b=b: pair_loss(p, b))(params)
+                for b in range(self.B)]
+        ref = jax.tree_util.tree_map(
+            lambda *xs: sum(xs) / self.B, *refs)
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+        flat_got = jax.tree_util.tree_flatten_with_path(got)[0]
+        for (path, r), (_, g) in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=5e-5,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_stochastic_rate0_matches_deterministic(self):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward,
+            make_stochastic_inputs)
+        (params, mesh, cfg, g1s, pros, sm, sp, fwd_b, _) = self._setup()
+        fwd_s = make_sharded_pair_forward(mesh, cfg, stochastic=True,
+                                          n_pairs=self.B)
+        n_global = sp[0].shape[1] * sp[0].shape[2]  # D * Nl
+        key = jax.random.PRNGKey(3)
+        drops, slopes = [], []
+        for b in range(self.B):
+            d, s = make_stochastic_inputs(
+                jax.random.fold_in(key, b), n_global, cfg.hid_dim,
+                cfg.message_steps, D, rate=0.0)
+            drops.append(d)
+            slopes.append(s)
+        mol_rngs = jax.random.split(jax.random.PRNGKey(9), self.B)
+        got = np.asarray(fwd_s(params, sm, mol_rngs, *sp,
+                               jnp.stack([jnp.asarray(d) for d in drops]),
+                               jnp.stack([jnp.asarray(s) for s in slopes])))
+        want = np.asarray(fwd_b(params, sm, *sp))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
