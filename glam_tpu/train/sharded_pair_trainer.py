@@ -67,12 +67,13 @@ def sharded_config_ok(config: dict) -> bool:
     """True when a sampled DTI config fits the sharded pair path's
     supported subset (the solver resamples otherwise: the dense path
     still searches the full space, this is the sharded trainer's
-    honest capability boundary)."""
+    honest capability boundary).  graph_norm='_BatchNorm' IS supported
+    (round 4): psum batch statistics in the sharded protein tower +
+    mutable flax stats in the molecule tower, torch momentum-0.1 EMA
+    into running averages for eval/serving."""
     if str(config.get("pre_norm", "_None")).strip() != "_None":
         return False
     if str(config.get("flat_norm", "_None")).strip() != "_None":
-        return False
-    if str(config.get("graph_norm", "_None")).strip() == "_BatchNorm":
         return False
     return True
 
@@ -108,12 +109,6 @@ class ShardedPairTrainer:
                     f"--pro_shards: {key} must be '_None' (the sharded "
                     "protein tower has no pre/flat norm; see "
                     "SHARDED_SUPPORTED_CONFIG)")
-        if str(args.get("graph_norm", "_None")).strip() == "_BatchNorm":
-            raise ValueError(
-                "--pro_shards: graph_norm '_BatchNorm' is not supported "
-                "on the pair path (the replicated flax molecule tower "
-                "would need mutable batch statistics); use _PairNorm / "
-                "_LayerNorm / _GraphSizeNorm / _None")
         # sharded pair-head requirement — mutate the FLAT arg too, so
         # every downstream consumer (AutoML blend rebuild, summary
         # config strings, resume checks) sees the config that actually
@@ -160,16 +155,34 @@ class ShardedPairTrainer:
                                  k=int(args.get("k", 6)))
         self.opt_state = self.tx.init(self.params)
         rate = parse_dropout(args.get("graph_do", "_None()"))
-        self.stochastic = rate > 0.0 or is_stochastic(
-            args.get("graph_act", "CELU"))
+        self._has_bn = cfg.graph_norm.strip() == "_BatchNorm"
+        # BatchNorm trains on batch statistics: the train forward runs
+        # the molecule tower in flax train mode (mutable stats), which
+        # rides the stochastic machinery even at dropout rate 0
+        self.stochastic = (rate > 0.0 or self._has_bn
+                           or is_stochastic(args.get("graph_act",
+                                                     "CELU")))
         self._drop_rate = rate
         self.B = max(1, int(args.get("pair_batch", 1)))
-        self.fwd_eval = make_sharded_pair_forward(self.mesh, cfg,
-                                                  n_pairs=self.B)
-        self.fwd_train = (make_sharded_pair_forward(self.mesh, cfg,
-                                                    stochastic=True,
-                                                    n_pairs=self.B)
-                          if self.stochastic else self.fwd_eval)
+        if self._has_bn:
+            bn = variables["batch_stats"]
+            self._mol_bn = bn["mol1"]
+            self._pair_bn0 = bn  # dense-layout template for ckpts
+            ra = bn["mol2"]["conv"]["BatchNorm_0"]
+            self._pro_ra = {"mean": jnp.asarray(ra["mean"]),
+                            "var": jnp.asarray(ra["var"])}
+            self.fwd_eval = make_sharded_pair_forward(
+                self.mesh, cfg, bn_mode="running", n_pairs=self.B)
+            self.fwd_train = make_sharded_pair_forward(
+                self.mesh, cfg, stochastic=True, track_bn_stats=True,
+                n_pairs=self.B)
+        else:
+            self._mol_bn = self._pro_ra = None
+            self.fwd_eval = make_sharded_pair_forward(self.mesh, cfg,
+                                                      n_pairs=self.B)
+            self.fwd_train = (make_sharded_pair_forward(
+                self.mesh, cfg, stochastic=True, n_pairs=self.B)
+                if self.stochastic else self.fwd_eval)
         self._build_steps()
         self._key = jax.random.PRNGKey(seed + 1)
         self.scheduler = ReduceLROnPlateau(
@@ -306,49 +319,126 @@ class ShardedPairTrainer:
         fwd_t = self.fwd_train
         fwd_e = self.fwd_eval
         tx = self.tx
+        has_bn = self._has_bn
+        B = self.B
 
-        if self.B == 1:
-            def objective(params, mol_b, pro_in, y):
-                return loss(fwd_t(params, mol_b, *pro_in), y)
+        def _pro_ema(pro_ra, pm, pv, w=None):
+            """torch momentum-0.1 EMA over the protein tower's per-step
+            batch statistics — the same update sequence the weight-tied
+            single-device MessageBlock performs (one BatchNorm module
+            updating once per message step).  Batched steps first take
+            the weight-averaged statistics across the chunk."""
+            if w is not None:  # pm/pv: [B, S, C] -> [S, C]
+                wn = w / jnp.maximum(jnp.sum(w), 1.0)
+                pm = jnp.einsum("b,bsc->sc", wn, pm)
+                pv = jnp.einsum("b,bsc->sc", wn, pv)
+            mean, var = pro_ra["mean"], pro_ra["var"]
+            for s in range(pm.shape[0]):
+                mean = 0.9 * mean + 0.1 * pm[s]
+                var = 0.9 * var + 0.1 * pv[s]
+            return {"mean": mean, "var": var}
+
+        def _avg_mol_bn(new_bn, w=None):
+            if w is None:
+                return new_bn
+            wn = w / jnp.maximum(jnp.sum(w), 1.0)
+            return jax.tree_util.tree_map(
+                lambda x: jnp.tensordot(wn, x, axes=1), new_bn)
+
+        def _eval_params(params, pro_ra):
+            if not has_bn:
+                return params
+            return {**params, "pro": {**params["pro"],
+                                      "norm_ra": pro_ra}}
+
+        if B == 1:
+            def objective(params, mol_bn, mol_b, pro_in, y):
+                if has_bn:
+                    pred, new_bn, stats = fwd_t(params, mol_b, mol_bn,
+                                                *pro_in)
+                    return loss(pred, y), (new_bn, stats)
+                return loss(fwd_t(params, mol_b, *pro_in), y), None
 
             @jax.jit
-            def step(params, opt_state, mol_b, pro_in, y):
-                lval, grads = jax.value_and_grad(objective)(
-                    params, mol_b, pro_in, y)
+            def step(params, opt_state, mol_bn, pro_ra, mol_b, pro_in,
+                     y):
+                (lval, aux), grads = jax.value_and_grad(
+                    objective, has_aux=True)(params, mol_bn, mol_b,
+                                             pro_in, y)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, lval
+                if has_bn:
+                    new_bn, (pm, pv) = aux
+                    pro_ra = _pro_ema(pro_ra, pm, pv)
+                    return params, opt_state, new_bn, pro_ra, lval
+                return params, opt_state, mol_bn, pro_ra, lval
 
             @jax.jit
-            def infer(params, mol_b, pro_in, y):
-                logits = fwd_e(params, mol_b, *pro_in)
+            def infer(params, mol_bn, pro_ra, mol_b, pro_in, y):
+                p = _eval_params(params, pro_ra)
+                if has_bn:
+                    logits = fwd_e(p, mol_b, mol_bn, *pro_in)
+                else:
+                    logits = fwd_e(p, mol_b, *pro_in)
                 return logits, loss(logits, y)
 
-            self._step = step
-            self._infer = infer
+            self._step_raw = step
+            self._infer_raw = infer
             return
 
         # batched regime: logits [B, out]; masked mean over the pair
         # batch (weight-0 rows are padding repeats of the last chunk)
-        def objective_b(params, mol_b, pro_in, y, w):
-            per = jax.vmap(loss)(fwd_t(params, mol_b, *pro_in), y)
-            return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        def objective_b(params, mol_bn, mol_b, pro_in, y, w):
+            if has_bn:
+                pred, new_bn, stats = fwd_t(params, mol_b, mol_bn,
+                                            *pro_in)
+                per = jax.vmap(loss)(pred, y)
+            else:
+                per = jax.vmap(loss)(fwd_t(params, mol_b, *pro_in), y)
+                new_bn, stats = None, None
+            return (jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0),
+                    (new_bn, stats))
 
         @jax.jit
-        def step_b(params, opt_state, mol_b, pro_in, y, w):
-            lval, grads = jax.value_and_grad(objective_b)(
-                params, mol_b, pro_in, y, w)
+        def step_b(params, opt_state, mol_bn, pro_ra, mol_b, pro_in,
+                   y, w):
+            (lval, aux), grads = jax.value_and_grad(
+                objective_b, has_aux=True)(params, mol_bn, mol_b,
+                                           pro_in, y, w)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, lval
+            if has_bn:
+                new_bn, (pm, pv) = aux
+                mol_bn = _avg_mol_bn(new_bn, w)
+                pro_ra = _pro_ema(pro_ra, pm, pv, w)
+            return params, opt_state, mol_bn, pro_ra, lval
 
         @jax.jit
-        def infer_b(params, mol_b, pro_in, y):
-            logits = fwd_e(params, mol_b, *pro_in)
+        def infer_b(params, mol_bn, pro_ra, mol_b, pro_in, y):
+            p = _eval_params(params, pro_ra)
+            if has_bn:
+                logits = fwd_e(p, mol_b, mol_bn, *pro_in)
+            else:
+                logits = fwd_e(p, mol_b, *pro_in)
             return logits, jax.vmap(loss)(logits, y)
 
-        self._step = step_b
-        self._infer = infer_b
+        self._step_raw = step_b
+        self._infer_raw = infer_b
+
+    def _step(self, params, opt_state, mol_b, pro_in, y, w=None):
+        """One optimizer step (old call signature kept): BN running
+        statistics, when present, advance as trainer state."""
+        extra = (y,) if w is None else (y, w)
+        params, opt_state, mol_bn, pro_ra, lval = self._step_raw(
+            params, opt_state, self._mol_bn, self._pro_ra, mol_b,
+            pro_in, *extra)
+        if self._has_bn:
+            self._mol_bn, self._pro_ra = mol_bn, pro_ra
+        return params, opt_state, lval
+
+    def _infer(self, params, mol_b, pro_in, y):
+        return self._infer_raw(params, self._mol_bn, self._pro_ra,
+                               mol_b, pro_in, y)
 
     def _noise(self, pro_in):
         """Stochastic inputs: (mol_rng,) + noise arrays with the PADDED
@@ -414,6 +504,7 @@ class ShardedPairTrainer:
                       else pro_in)
             extra = (y, w)
         self._key = key0  # the probe must not advance the noise stream
+        bn0 = (self._mol_bn, self._pro_ra)  # nor the BN running stats
         reps = 3
         for attempt in range(3):
             snap = snapshot_cache_entries()
@@ -428,6 +519,7 @@ class ShardedPairTrainer:
             if rate >= floor:
                 self.log(f"compile probe ok: {rate:.3e} edges/s "
                          f"(attempt {attempt + 1})")
+                self._mol_bn, self._pro_ra = bn0
                 return
             if attempt == 2:
                 # keep the final executable: evicting/clearing here
@@ -435,6 +527,7 @@ class ShardedPairTrainer:
                 # real training step
                 self.log("compile probe: floor not reached after 3 "
                          "attempts; continuing with the last executable")
+                self._mol_bn, self._pro_ra = bn0
                 return
             n = evict_new_cache_entries(snap)
             self.log(f"compile probe SLOW: {rate:.3e} < {floor:.1e} "
@@ -451,6 +544,7 @@ class ShardedPairTrainer:
         best = (min(self.records["val_losses"])
                 if self.records["val_losses"] else float("inf"))
         best_params, wait = self._best_params, self._wait
+        best_bn = (self._mol_bn, self._pro_ra)
         for ep in range(self._start_epoch, epochs + 1):
             order = np.random.RandomState(seed + ep).permutation(
                 len(self.splits["train"]))
@@ -488,6 +582,7 @@ class ShardedPairTrainer:
                      f"lr_cur:{new_lr:.7f}")
             if val_loss < best:
                 best, best_params, wait = val_loss, self.params, 0
+                best_bn = (self._mol_bn, self._pro_ra)
                 self.save_ckpt(ep)
             else:
                 wait += 1
@@ -496,6 +591,7 @@ class ShardedPairTrainer:
                 self.log(f"early stop at epoch {ep}")
                 break
         self.params = best_params
+        self._mol_bn, self._pro_ra = best_bn
         self.save_ckpt(epochs, final_save=True)
 
     def valid_iterations(self, mode: str = "valid"):
@@ -563,13 +659,20 @@ class ShardedPairTrainer:
         load it unchanged."""
         merged = insert_pair_params(self._flax_params, self.params,
                                     self.cfg.pro_block,
-                                    self.cfg.pro_readout)
+                                    self.cfg.pro_readout,
+                                    graph_norm=self.cfg.graph_norm)
+        if self._has_bn:
+            from ..parallel.sharded_model import insert_pair_bn_stats
+            stats = insert_pair_bn_stats(self._pair_bn0, self._mol_bn,
+                                         self._pro_ra)
+        else:
+            stats = {}
         name = "final_save.ckpt" if final_save else "best_save.ckpt"
         payload = {
             "args": json.dumps(self.args),
             "records": json.dumps(self.records),
             "params": serialization.to_bytes(merged),
-            "batch_stats": serialization.to_bytes({}),
+            "batch_stats": serialization.to_bytes(stats),
         }
         with open(self.log_save_dir / name, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
@@ -592,6 +695,9 @@ class ShardedPairTrainer:
             "scheduler": json.dumps({"best": self.scheduler.best,
                                      "num_bad": self.scheduler.num_bad}),
         }
+        if self._has_bn:
+            payload["mol_bn"] = serialization.to_bytes(self._mol_bn)
+            payload["pro_ra"] = serialization.to_bytes(self._pro_ra)
         with open(self.log_save_dir / "last_save.ckpt", "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
@@ -626,6 +732,11 @@ class ShardedPairTrainer:
                                                   payload["opt_state"])
         self._key = jnp.asarray(serialization.from_bytes(
             np.asarray(self._key), payload["key"]))
+        if self._has_bn:
+            self._mol_bn = serialization.from_bytes(self._mol_bn,
+                                                    payload["mol_bn"])
+            self._pro_ra = serialization.from_bytes(self._pro_ra,
+                                                    payload["pro_ra"])
         self._wait = int(payload["wait"])
         self._start_epoch = int(payload["epoch"]) + 1
         self.log_save_dir = path.parent

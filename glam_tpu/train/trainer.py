@@ -415,6 +415,14 @@ class Trainer:
         scan = int(self.args.get("scan_steps", 8))
         losses: List[Tuple[float, int]] = []  # (group mean, n batches)
         pending: List[Tuple[GraphBatch, ...]] = []
+        # GLAM_TRAIN_STATS=1: per-epoch achieved edges/s through THIS
+        # loop (wall clock incl. a trailing device sync) + the fraction
+        # of it spent blocked on the prefetch iterator — connects the
+        # microbench headline to the loop users actually run
+        import os
+        stats = os.environ.get("GLAM_TRAIN_STATS", "0") == "1"
+        t_start = time.perf_counter() if stats else 0.0
+        t_fetch, n_edges = 0.0, 0
 
         def flush():
             if not pending:
@@ -434,7 +442,17 @@ class Trainer:
             pending.clear()
 
         from ..data.batching import prefetch
-        for batch in prefetch(iter(self.train_loader)):
+        it = prefetch(iter(self.train_loader))
+        while True:
+            if stats:
+                t0 = time.perf_counter()
+            batch = next(it, None)
+            if stats:
+                t_fetch += time.perf_counter() - t0
+            if batch is None:
+                break
+            if stats:
+                n_edges += int(np.asarray(batch.edge_mask).sum())
             pending.append(self._as_parts(batch))
             if len(pending) == max(scan, 1):
                 flush()
@@ -442,6 +460,13 @@ class Trainer:
         if losses:
             self.log("\tbatch 0 training loss: {:.5f}".format(
                 float(losses[0][0])), with_time=True)
+        if stats and losses:
+            jax.block_until_ready(losses[-1][0])
+            dt = time.perf_counter() - t_start
+            self.log(f"\ttrain stats: {n_edges:.3e} edges in {dt:.2f}s "
+                     f"= {n_edges / max(dt, 1e-9):.3e} edges/s, "
+                     f"prefetch stall {t_fetch / max(dt, 1e-9):.1%}",
+                     with_time=True)
         # per-batch (not per-group) mean: scan groups carry their size
         total = sum(n for _, n in losses)
         return float(sum(float(l) * n for l, n in losses) / max(total, 1))

@@ -1079,3 +1079,85 @@ class TestBatchedPairForward:
                                jnp.stack([jnp.asarray(s) for s in slopes])))
         want = np.asarray(fwd_b(params, sm, *sp))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestBatchNormPair:
+    """graph_norm='_BatchNorm' on the SHARDED PAIR path (round 4,
+    VERDICT item 5): psum batch statistics in the protein tower +
+    mutable flax stats in the molecule tower; torch momentum-0.1 EMA
+    reproduces the dense PairArchitecture's running statistics
+    exactly, and eval with running averages matches dense eval."""
+
+    def _setup(self):
+        from glam_tpu.parallel.sharded_model import extract_pair_params
+        mol, pro = _pair_setup(seed=1)
+        cfg = _pair_cfg(240)
+        cfg = type(cfg)(**{**cfg.__dict__, "graph_norm": "_BatchNorm"})
+        model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+        return model, g1, g2, variables, cfg, mesh, inputs
+
+    def test_train_forward_and_stats_match_dense(self):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward,
+            make_stochastic_inputs)
+        model, g1, g2, variables, cfg, mesh, inputs = self._setup()
+        out_d, upd = model.apply(variables, g1, g2, False,
+                                 rngs={"dropout": jax.random.PRNGKey(5)},
+                                 mutable=["batch_stats"])
+        dense_stats = upd["batch_stats"]
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool",
+                                     graph_norm="_BatchNorm")
+        fwd_t = make_sharded_pair_forward(mesh, cfg, stochastic=True,
+                                          track_bn_stats=True)
+        n_global = inputs[0].shape[0] * inputs[0].shape[1]
+        drop, slope = make_stochastic_inputs(
+            jax.random.PRNGKey(7), n_global, cfg.hid_dim,
+            cfg.message_steps, D, rate=0.0)
+        bn0 = variables["batch_stats"]
+        pred, new_bn, (pm, pv) = fwd_t(
+            params, g1, bn0["mol1"], jax.random.PRNGKey(5), *inputs,
+            jnp.asarray(drop), jnp.asarray(slope))
+        np.testing.assert_allclose(np.asarray(pred),
+                                   np.asarray(out_d)[0],
+                                   rtol=2e-4, atol=1e-5)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(new_bn["conv"]["BatchNorm_0"][k]),
+                np.asarray(dense_stats["mol1"]["conv"]
+                           ["BatchNorm_0"][k]), rtol=1e-4, atol=1e-6)
+        # protein tower: EMA over per-step stats == dense weight-tied
+        # BatchNorm's sequential updates
+        mean = np.asarray(bn0["mol2"]["conv"]["BatchNorm_0"]["mean"])
+        var = np.asarray(bn0["mol2"]["conv"]["BatchNorm_0"]["var"])
+        pm, pv = np.asarray(pm), np.asarray(pv)
+        for s in range(pm.shape[0]):
+            mean = 0.9 * mean + 0.1 * pm[s]
+            var = 0.9 * var + 0.1 * pv[s]
+        ref = dense_stats["mol2"]["conv"]["BatchNorm_0"]
+        np.testing.assert_allclose(mean, np.asarray(ref["mean"]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(var, np.asarray(ref["var"]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_eval_running_matches_dense_eval(self):
+        from glam_tpu.parallel.sharded_model import (
+            extract_pair_params, make_sharded_pair_forward)
+        model, g1, g2, variables, cfg, mesh, inputs = self._setup()
+        # advance the stats once so running averages are non-trivial
+        _, upd = model.apply(variables, g1, g2, False,
+                             rngs={"dropout": jax.random.PRNGKey(5)},
+                             mutable=["batch_stats"])
+        stats = upd["batch_stats"]
+        want = np.asarray(model.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            g1, g2, True))[0]
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool",
+                                     graph_norm="_BatchNorm",
+                                     batch_stats=stats)
+        fwd_e = make_sharded_pair_forward(mesh, cfg, bn_mode="running")
+        got = np.asarray(fwd_e(params, g1, stats["mol1"], *inputs))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

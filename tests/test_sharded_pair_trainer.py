@@ -307,16 +307,15 @@ def test_sharded_config_validation():
     from glam_tpu.train.sharded_pair_trainer import (ShardedPairTrainer,
                                                      sharded_config_ok)
     assert sharded_config_ok({"graph_norm": "_PairNorm"})
+    # graph_norm='_BatchNorm' is SUPPORTED since round 4
+    assert sharded_config_ok({"graph_norm": "_BatchNorm"})
     assert not sharded_config_ok({"pre_norm": "_BatchNorm"})
     assert not sharded_config_ok({"flat_norm": "_LayerNorm"})
-    assert not sharded_config_ok({"graph_norm": "_BatchNorm"})
     ds = BindingDBDataset("datasets/dti_demo")
     base = {"dataset": "bindingdb_c", "pro_shards": 4, "epochs": 1,
             "e_dim": 16, "hid_dim_alpha": 2, "message_steps": 1}
     with pytest.raises(ValueError, match="pre_norm"):
         ShardedPairTrainer({**base, "pre_norm": "_BatchNorm"}, ds)
-    with pytest.raises(ValueError, match="_BatchNorm"):
-        ShardedPairTrainer({**base, "graph_norm": "_BatchNorm"}, ds)
 
 
 class TestPairBatch:
@@ -414,3 +413,53 @@ class TestPairBatch:
                     "--dataset_root", "datasets/dti_demo",
                     "--epochs", "1", "--pair_batch", "2",
                     "--work_dir", str(tmp_path)])
+
+
+class TestShardedBatchNorm:
+    """graph_norm='_BatchNorm' on the production --pro_shards path
+    (VERDICT round-3 item 5: previously rejected/resampled)."""
+
+    def test_config_ok_accepts_batchnorm(self):
+        from glam_tpu.train.sharded_pair_trainer import sharded_config_ok
+        assert sharded_config_ok({"graph_norm": "_BatchNorm"})
+        assert not sharded_config_ok({"pre_norm": "_LayerNorm"})
+
+    def test_bn_cli_and_eval_roundtrip(self, tmp_path):
+        """BN sharded training runs from the CLI; the checkpoint's
+        batch_stats restore into the dense PairArchitecture and its
+        EVAL forward (running averages) matches the sharded eval."""
+        from flax import serialization
+        from glam_tpu.data.batching import GraphLoader
+        trainer = _run(tmp_path, extra=["--graph_norm", "_BatchNorm",
+                                        "--epochs", "2"])
+        assert trainer._has_bn and trainer.stochastic
+        res = json.loads(
+            (trainer.log_save_dir / "result.json").read_text())
+        assert np.isfinite(res["loss"]["testloss"])
+        with open(trainer.log_save_dir / "final_save.ckpt", "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        merged = serialization.from_bytes(trainer._flax_params,
+                                          payload["params"])
+        stats = serialization.from_bytes(trainer._pair_bn0,
+                                         payload["batch_stats"])
+        # running stats actually moved off the init values
+        ra = stats["mol2"]["conv"]["BatchNorm_0"]
+        assert float(np.abs(np.asarray(ra["mean"])).sum()) > 0
+        pair = trainer.splits["test"][0]
+        mol_b, pro_in, y = trainer._sample(pair)
+        pro_b = next(iter(GraphLoader([pair[1]], 1, 1)))
+        single = np.asarray(trainer.model.apply(
+            {"params": merged, "batch_stats": stats}, mol_b, pro_b,
+            True))[0]
+        sharded = np.asarray(trainer._infer(
+            trainer.params, mol_b, pro_in, 0.0)[0])
+        np.testing.assert_allclose(sharded, single, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_bn_batched_trains(self, tmp_path):
+        trainer = _run(tmp_path, extra=["--graph_norm", "_BatchNorm",
+                                        "--pair_batch", "3"])
+        assert trainer._has_bn and trainer.B == 3
+        res = json.loads(
+            (trainer.log_save_dir / "result.json").read_text())
+        assert np.isfinite(res["loss"]["testloss"])
