@@ -92,7 +92,8 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
              shard_counts=(2, 4, 8), band: int = 6,
              long_range_frac: float = 0.05,
              ici_link_bytes_per_sec: float = 4.5e10,
-             flops_per_sec: float = 1.0e13, seed: int = 0) -> List[dict]:
+             flops_per_sec: float = 1.0e13, seed: int = 0,
+             fusion_nm: int = 40) -> List[dict]:
     """Analytic per-step compute/communication model for the sharded
     giant-graph (protein) trainer — makes the BASELINE.md >=80% scaling
     target falsifiable before real multi-chip hardware exists.
@@ -113,7 +114,17 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
       * predicted efficiency  t_comp / (t_comp + t_comm)  with NO
         compute/comm overlap (conservative) at v5e-class numbers
         (one 45 GB/s ICI link, ~10 TFLOP/s f32 — the rate
-        scripts/profile_step_flops.py measured for the flagship step).
+        scripts/profile_step_flops.py measured for the flagship step);
+      * overlap-aware efficiency  t_comp / (t_comp + max(0, t_comm -
+        t_overlap)): the per-step work whose dependencies do NOT
+        involve the halo result — the edge projection (eh), the local
+        attention terms a_i/a_e, and (pair path, ``fusion_nm`` > 0)
+        the previous step's cross-graph fusion einsum, which
+        run_tower defers until after the next exchange is issued
+        (sharded_model.py) — can hide in the collective's flight time
+        under XLA's latency-hiding scheduler with async collectives.
+        The non-overlappable tail (logits -> softmax -> aggregate ->
+        GRU, all downstream of the halo table) stays serial.
     """
     from .graph_partition import (build_halo_exchange,
                                   build_halo_exchange_ring,
@@ -156,12 +167,22 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
                + n_local * HC * C * 2        # aggr @ wscale
                + n_local * C * 3 * C * 2 * 2)  # GRU two matmuls
         flops_step = 3 * fwd * steps         # fwd + bwd ~ 3x fwd
+        # --- overlappable FLOPs: independent of the halo result ------
+        # eh projection + a_i/a_e local attention terms, plus (pair
+        # path) the deferred fusion einsum over the molecule's Nm rows;
+        # xp itself FEEDS the exchange, so it cannot hide behind it
+        ov_fwd = (e_local * 8 * HC * 2       # eh
+                  + n_local * HC * 2         # a_i
+                  + e_local * HC * 2         # a_e
+                  + fusion_nm * n_local * C * 2)  # deferred fusion
+        ov_step = 3 * ov_fwd * steps         # same fwd+bwd scaling
         # --- ICI bytes per shard per message step (v2 halo, fwd) ---
         halo_rows = D * H                    # padded all_to_all buffer
         bytes_fwd = halo_rows * (heads * C + heads) * 4
         bytes_step = 2 * bytes_fwd * steps   # bwd transposes the a2a
         t_comp = flops_step / flops_per_sec
         t_comm = bytes_step / ici_link_bytes_per_sec
+        t_ov = ov_step / flops_per_sec
         real_halo = int(send_mask.sum())
         # --- v3 ring plan: per-distance ppermute budgets ---
         _, budgets, _ = build_halo_exchange_ring(sg, emask, n_local)
@@ -178,11 +199,16 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
             "t_comm_us": round(t_comm * 1e6, 2),
             "predicted_efficiency": round(
                 t_comp / (t_comp + t_comm), 4),
+            "t_overlap_us": round(t_ov * 1e6, 2),
+            "overlap_predicted_efficiency": round(
+                t_comp / (t_comp + max(0.0, t_comm - t_ov)), 4),
             "ring_halo_rows": ring_rows,
             "ring_ici_bytes_per_shard_step": int(ring_step),
             "ring_t_comm_us": round(t_ring * 1e6, 2),
             "ring_predicted_efficiency": round(
                 t_comp / (t_comp + t_ring), 4),
+            "ring_overlap_predicted_efficiency": round(
+                t_comp / (t_comp + max(0.0, t_ring - t_ov)), 4),
         })
     return out
 

@@ -522,11 +522,14 @@ class ShardedPairTrainer:
                 self._mol_bn, self._pro_ra = bn0
                 return
             if attempt == 2:
-                # keep the final executable: evicting/clearing here
-                # would force an unvalidated 4th compile on the first
-                # real training step
+                # keep the final executable IN-PROCESS, but drop its
+                # persistent-cache entries so later processes re-roll
+                # instead of reloading a validated-slow executable
+                # (same policy as Trainer._probe_compile)
+                n = evict_new_cache_entries(snap)
                 self.log("compile probe: floor not reached after 3 "
-                         "attempts; continuing with the last executable")
+                         "attempts; continuing with the last executable"
+                         f" (evicted its {n} persistent-cache entries)")
                 self._mol_bn, self._pro_ra = bn0
                 return
             n = evict_new_cache_entries(snap)

@@ -602,11 +602,17 @@ class Trainer:
                          f"(attempt {attempt + 1})", with_time=True)
                 return
             if attempt == 2:
-                # keep the final executable: evicting/clearing here
-                # would force an unvalidated 4th compile on the first
-                # real training step
+                # keep the final executable IN-PROCESS (evicting the
+                # jit cache would force an unvalidated 4th compile on
+                # the first real step) — but drop its PERSISTENT-cache
+                # entries, or every later process would reload this
+                # validated-slow executable instead of re-rolling
+                # (observed: three run.py processes pinned at the same
+                # 7.9e5 edges/s through the shared cache)
+                n = evict_new_cache_entries(snap)
                 self.log("compile probe: floor not reached after 3 "
-                         "attempts; continuing with the last executable",
+                         "attempts; continuing with the last executable"
+                         f" (evicted its {n} persistent-cache entries)",
                          with_time=True)
                 return
             n = evict_new_cache_entries(snap)

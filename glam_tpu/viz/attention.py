@@ -142,7 +142,11 @@ def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
     from matplotlib import cm
 
     mol = parse_smiles(smiles)
-    pos = spring_layout(mol)
+    # chemistry-standard coordinates (regular rings, 120-degree chains
+    # — reference RDKit-depiction parity, visualize_gp.py:61-131);
+    # spring_layout remains available as the generic-graph fallback
+    from .layout2d import layout2d
+    pos = layout2d(mol)
     fig, ax = plt.subplots(figsize=(5, 5))
     for b in mol.bonds:
         pa, pb = pos[b.a], pos[b.b]
