@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 # Bond orders: aromatic bonds count 1.5 toward valence.
 SINGLE, DOUBLE, TRIPLE, AROMATIC = 1, 2, 3, 4
@@ -244,9 +244,10 @@ def _validate_valence(mol: Mol, written_orders: List[int]) -> None:
         valence + charge (so [NH4+], [BH4-], [O-] all pass).
 
     Known remaining deltas vs RDKit sanitization (documented, accepted):
-      * no kekulization check — an aromatic-written ring with no valid
-        Kekulé assignment (e.g. ``c1ccc1``) is accepted here, RDKit
-        rejects it;
+      * the kekulization check (:func:`_validate_kekulizable`) uses a
+        perfect-matching criterion, so even-membered antiaromatic
+        spellings that still kekulize (e.g. ``c1ccc1``) are accepted
+        where RDKit also runs aromaticity re-perception;
       * aromatic atoms use the minimal-Kekulé model above, so an
         aromatic atom whose every Kekulé structure is hypervalent
         could slip through;
@@ -278,6 +279,100 @@ def _validate_valence(mol: Mol, written_orders: List[int]) -> None:
                 f"valence {effective} on atom {i} ({atom.symbol}, "
                 f"charge {atom.charge:+d}) exceeds the permitted "
                 f"{limit} (RDKit-parity sanitization)")
+
+
+def _validate_kekulizable(mol: Mol, written_orders: List[int],
+                          written_aromatic: List[bool]) -> None:
+    """RDKit-parity kekulization check (mirrored byte-exactly by
+    native/csrc/glam_native.cpp).
+
+    An AROMATIC-WRITTEN ring system must admit a Kekulé assignment:
+    every aromatic atom that needs a ring double bond must be coverable
+    by a perfect matching over the written aromatic bonds.  This is the
+    check that rejects the classic dirty-corpus spelling ``n1cccc1``
+    (pyrrole missing its ``[nH]``) the way RDKit does ("Can't kekulize
+    mol"), so dataset membership matches the reference's skip-row
+    behavior.
+
+    Needs-a-double rules (slots = degree + explicit H):
+      * C/Si neutral: yes, unless a written exocyclic double/triple
+        bond already supplies the pi electron; charged C: no;
+      * N/P/As neutral: yes iff slots == 2 (pyridine-type; pyrrole-type
+        slots >= 3 donates the lone pair); cation: yes iff slots == 3
+        (pyridinium); anion: no (pyrrolide);
+      * O/S/Se/Te neutral: no (lone-pair donors); cation: yes
+        (pyrylium/thiopyrylium); B: no.
+
+    The matching search is exact backtracking with a step cap; on cap
+    overflow the molecule is ACCEPTED (no false rejects).  Documented
+    delta vs RDKit: even-membered antiaromatic spellings that still
+    kekulize (``c1ccc1``) are accepted here.
+    """
+    needs: List[int] = []
+    for i, atom in enumerate(mol.atoms):
+        if not written_aromatic[i]:
+            continue
+        deg = len(atom.bonds)
+        h = atom.explicit_h or 0
+        slots = deg + h
+        sym, chg = atom.symbol, atom.charge
+        exo_multiple = any(
+            written_orders[bi] in (DOUBLE, TRIPLE)
+            for bi in atom.bonds)
+        if sym in ("C", "Si"):
+            need = chg == 0 and not exo_multiple
+        elif sym in ("N", "P", "As"):
+            if chg == 0:
+                need = slots == 2 and not exo_multiple
+            elif chg > 0:
+                need = slots == 3 and not exo_multiple
+            else:
+                need = False
+        elif sym in ("O", "S", "Se", "Te"):
+            need = chg > 0
+        else:  # B and anything exotic: no pi requirement
+            need = False
+        if need:
+            needs.append(i)
+    if not needs:
+        return
+    need_set = set(needs)
+    adj: Dict[int, List[int]] = {i: [] for i in needs}
+    for bi, b in enumerate(mol.bonds):
+        if written_orders[bi] == AROMATIC and b.a in need_set \
+                and b.b in need_set:
+            adj[b.a].append(b.b)
+            adj[b.b].append(b.a)
+    # exact perfect-matching search (molecule ring systems are small);
+    # deterministic order keeps the C++ twin byte-identical
+    order = sorted(needs, key=lambda i: (len(adj[i]), i))
+    steps = [0]
+
+    def match(k: int, used: Set[int]) -> bool:
+        steps[0] += 1
+        if steps[0] > 100000:
+            return True  # cap: accept rather than false-reject
+        while k < len(order) and order[k] in used:
+            k += 1
+        if k == len(order):
+            return True
+        u = order[k]
+        for v in adj[u]:
+            if v not in used:
+                used.add(u)
+                used.add(v)
+                if match(k + 1, used):
+                    return True
+                used.discard(u)
+                used.discard(v)
+        return False
+
+    if not match(0, set()):
+        raise SmilesError(
+            "aromatic system cannot be kekulized (RDKit-parity "
+            "sanitization): an aromatic atom requires a ring double "
+            "bond no Kekulé assignment can provide — e.g. a pyrrole-"
+            "type nitrogen written without its [nH]")
 
 
 def parse_smiles(smiles: str, validate: bool = True) -> Mol:
@@ -405,9 +500,11 @@ def parse_smiles(smiles: str, validate: bool = True) -> Mol:
     if stack:
         raise SmilesError("unbalanced '('")
     written_orders = [b.order for b in mol.bonds]
+    written_aromatic = [a.aromatic for a in mol.atoms]
     _finalize(mol)
     if validate:
         _validate_valence(mol, written_orders)
+        _validate_kekulizable(mol, written_orders, written_aromatic)
     return mol
 
 

@@ -499,6 +499,83 @@ void validate_valence(const Mol& mol, const std::vector<int>& written) {
   }
 }
 
+// RDKit-parity kekulization check; mirrors smiles.py
+// _validate_kekulizable exactly.  Every aromatic-written atom that
+// needs a ring double bond must be coverable by a perfect matching
+// over the written aromatic bonds (rejects e.g. n1cccc1 — pyrrole
+// missing its [nH] — like RDKit's "Can't kekulize").  Exact
+// backtracking with a step cap; cap overflow ACCEPTS.
+bool kk_match(size_t k, const std::vector<int>& order,
+              const std::map<int, std::vector<int>>& adj,
+              std::set<int>& used, long& steps) {
+  if (++steps > 100000) return true;
+  while (k < order.size() && used.count(order[k])) k++;
+  if (k == order.size()) return true;
+  int u = order[k];
+  for (int v : adj.at(u)) {
+    if (!used.count(v)) {
+      used.insert(u);
+      used.insert(v);
+      if (kk_match(k + 1, order, adj, used, steps)) return true;
+      used.erase(u);
+      used.erase(v);
+    }
+  }
+  return false;
+}
+
+void validate_kekulizable(const Mol& mol,
+                          const std::vector<int>& written,
+                          const std::vector<char>& written_arom) {
+  std::vector<int> needs;
+  for (size_t i = 0; i < mol.atoms.size(); i++) {
+    if (!written_arom[i]) continue;
+    const Atom& atom = mol.atoms[i];
+    int deg = (int)atom.bonds.size();
+    int h = atom.explicit_h < 0 ? 0 : atom.explicit_h;
+    int slots = deg + h;
+    bool exo_multiple = false;
+    for (int bi : atom.bonds)
+      if (written[bi] == DOUBLE || written[bi] == TRIPLE)
+        exo_multiple = true;
+    const std::string& sym = atom.symbol;
+    bool need = false;
+    if (sym == "C" || sym == "Si") {
+      need = atom.charge == 0 && !exo_multiple;
+    } else if (sym == "N" || sym == "P" || sym == "As") {
+      if (atom.charge == 0)
+        need = slots == 2 && !exo_multiple;
+      else if (atom.charge > 0)
+        need = slots == 3 && !exo_multiple;
+    } else if (sym == "O" || sym == "S" || sym == "Se" ||
+               sym == "Te") {
+      need = atom.charge > 0;
+    }
+    if (need) needs.push_back((int)i);
+  }
+  if (needs.empty()) return;
+  std::set<int> need_set(needs.begin(), needs.end());
+  std::map<int, std::vector<int>> adj;
+  for (int i : needs) adj[i];
+  for (size_t bi = 0; bi < mol.bonds.size(); bi++) {
+    if (written[bi] != AROMATIC) continue;
+    int a = mol.bonds[bi].a, b = mol.bonds[bi].b;
+    if (need_set.count(a) && need_set.count(b)) {
+      adj[a].push_back(b);
+      adj[b].push_back(a);
+    }
+  }
+  std::vector<int> order(needs);
+  std::sort(order.begin(), order.end(), [&](int x, int y) {
+    size_t dx = adj[x].size(), dy = adj[y].size();
+    return dx != dy ? dx < dy : x < y;
+  });
+  std::set<int> used;
+  long steps = 0;
+  if (!kk_match(0, order, adj, used, steps))
+    throw ParseError{"aromatic system cannot be kekulized"};
+}
+
 Mol parse_smiles(const std::string& s) {
   Mol mol;
   int prev = -1;
@@ -596,8 +673,12 @@ Mol parse_smiles(const std::string& s) {
   std::vector<int> written;
   written.reserve(mol.bonds.size());
   for (const auto& b : mol.bonds) written.push_back(b.order);
+  std::vector<char> written_arom;
+  written_arom.reserve(mol.atoms.size());
+  for (const auto& a : mol.atoms) written_arom.push_back(a.aromatic);
   finalize(mol);
   validate_valence(mol, written);
+  validate_kekulizable(mol, written, written_arom);
   return mol;
 }
 

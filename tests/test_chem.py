@@ -258,3 +258,51 @@ class TestValenceSanitization:
         ds = MolDataset(str(tmp_path), dataset="demo")
         total = len(ds.train) + len(ds.val) + len(ds.test)
         assert total == 8  # pentavalent-C and nitro-N rows are gone
+
+
+class TestKekulizationCheck:
+    """RDKit-parity kekulization (round 4): an aromatic-written system
+    must admit a Kekulé assignment — rejects the classic dirty-corpus
+    spelling n1cccc1 (pyrrole missing its [nH]) the way RDKit's
+    "Can't kekulize mol" does."""
+
+    REJECTS = [
+        "n1cccc1",            # pyrrole-type N written pyridine-type
+        "c1cccc1",            # odd all-carbon aromatic ring
+        "c1ccn2ccccc2c1",     # neutral bridgehead-N 10-atom system
+    ]
+    ACCEPTS = [
+        "c1ccccc1", "c1cc[nH]c1", "n1ccccc1", "c1ccncc1",
+        "c1ccoc1", "c1ccsc1",
+        "c1ccc2[nH]ccc2c1",        # indole
+        "c1ccn2cccc2c1",           # indolizine (bridgehead n, no need)
+        "c1ccc2cccc[n+]2c1",       # quinolizinium (bridgehead n+)
+        "[nH+]1ccccc1",            # pyridinium
+        "c1cc[n-]c1",              # pyrrolide anion
+        "[o+]1ccccc1",             # pyrylium
+        "c1ccc2ccccc2c1", "c1ccc2cccc2cc1",   # naphthalene, azulene
+        "c1ccc2cc3ccccc3cc2c1",    # anthracene
+        "O=c1cc[nH]cc1",           # exocyclic double supplies the pi
+        "Cc1ccccc1", "c1ccc(cc1)-c1ccccc1",
+        "C1=CC=CN1",               # Kekulé-written input: not checked
+    ]
+
+    def test_rejects(self):
+        from glam_tpu.chem.smiles import SmilesError
+        for smi in self.REJECTS:
+            with pytest.raises(SmilesError):
+                parse_smiles(smi)
+
+    def test_accepts(self):
+        for smi in self.ACCEPTS:
+            parse_smiles(smi)
+
+    def test_native_agreement(self):
+        from glam_tpu.chem import native
+        if not native.available():
+            pytest.skip("native lib not built")
+        for smi in self.REJECTS:
+            with pytest.raises(ValueError):
+                native.smiles_to_arrays_native(smi)
+        for smi in self.ACCEPTS:
+            native.smiles_to_arrays_native(smi)
