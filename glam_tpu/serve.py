@@ -182,19 +182,29 @@ class PairPredictor:
     are saved in the same layout."""
 
     def __init__(self, model, params, args: Dict, hetero: bool,
-                 contact_maps: Optional[Dict] = None):
+                 contact_maps: Optional[Dict] = None,
+                 batch_stats=None):
         self.model = model
         self.params = params
         self.args = args
         self.hetero = hetero
         self.contact_maps = contact_maps or {}
         self.task = args.get("task", "pair_binary")
+        self.batch_stats = batch_stats or {}
         self._pro_cache: Dict[str, GraphArrays] = {}
 
-        def forward(params, b1, b2):
-            return model.apply({"params": params}, b1, b2, True)
+        def forward(params, batch_stats, b1, b2):
+            variables = {"params": params}
+            if batch_stats:
+                # BatchNorm checkpoints: eval mode reads the trained
+                # running averages (serving with init stats would be
+                # silently wrong)
+                variables["batch_stats"] = batch_stats
+            return model.apply(variables, b1, b2, True)
 
-        self._forward = jax.jit(forward)
+        jit_fwd = jax.jit(forward)
+        self._forward = lambda params, b1, b2: jit_fwd(
+            params, self.batch_stats, b1, b2)
 
     @classmethod
     def from_checkpoint(cls, run_dir, which: str = "best_save.ckpt",
@@ -225,7 +235,15 @@ class PairPredictor:
         variables = model.init(jax.random.PRNGKey(0), b1, b2, True)
         params = serialization.from_bytes(variables["params"],
                                           payload["params"])
-        return cls(model, params, args, hetero, contact_maps)
+        stats = {}
+        if payload.get("batch_stats") and "batch_stats" in variables:
+            try:
+                stats = serialization.from_bytes(
+                    variables["batch_stats"], payload["batch_stats"])
+            except ValueError:
+                stats = {}  # pre-BN checkpoint with an empty payload
+        return cls(model, params, args, hetero, contact_maps,
+                   batch_stats=stats)
 
     def _protein(self, seq: str) -> Optional[GraphArrays]:
         if seq in self._pro_cache:

@@ -112,3 +112,36 @@ class TestPairPredictor:
         assert not pred.hetero
         s = pred.predict_scores([("CCO", "c1ccncc1"), ("CCN", "CCO")])
         assert np.isfinite(s).all() and ((0 <= s) & (s <= 1)).all()
+
+    def test_dti_batchnorm_checkpoint_uses_running_stats(self, tmp_path):
+        """A BatchNorm pair checkpoint must serve with its TRAINED
+        running averages — ignoring batch_stats would silently score
+        with init statistics (round-4 fix)."""
+        import glam_tpu.run as r
+        if len(jax.devices()) < 4:
+            pytest.skip("needs multi-device mesh")
+        trainer = r.main(["--dataset", "bindingdb_c",
+                          "--dataset_root", "datasets/dti_demo",
+                          "--epochs", "2", "--e_dim", "16",
+                          "--hid_dim_alpha", "2", "--message_steps", "1",
+                          "--pro_shards", "4",
+                          "--graph_norm", "_BatchNorm",
+                          "--work_dir", str(tmp_path)])
+        from glam_tpu.data.pair_datasets import BindingDBDataset
+        from glam_tpu.serve import PairPredictor
+        ds = BindingDBDataset("datasets/dti_demo")
+        pred = PairPredictor.from_checkpoint(
+            trainer.log_save_dir, contact_maps=ds.contact_maps)
+        # the loaded stats are the trained ones, not init zeros/ones
+        ra = pred.batch_stats["mol2"]["conv"]["BatchNorm_0"]
+        assert float(np.abs(np.asarray(ra["mean"])).sum()) > 0
+        mol, pro = ds.test[0]
+        scores = pred.predict_scores([(mol.smi, pro.smi)])
+        # parity vs the trainer's own (running-average) eval
+        mol_b, pro_in, _ = trainer._sample(ds.test[0])
+        logits = np.asarray(trainer._infer(trainer.params, mol_b,
+                                           pro_in, 0.0)[0])
+        ex = np.exp(logits - logits.max())
+        want = (ex / ex.sum())[1]
+        np.testing.assert_allclose(scores[0], want, rtol=1e-4,
+                                   atol=1e-4)
