@@ -463,3 +463,40 @@ class TestShardedBatchNorm:
         res = json.loads(
             (trainer.log_save_dir / "result.json").read_text())
         assert np.isfinite(res["loss"]["testloss"])
+
+
+def test_feature_matrix_pair_batch_ring_bn_stochastic(tmp_path):
+    """The full round-4 feature matrix in ONE run: batched pairs +
+    ring halo + BatchNorm + dropout + train-RReLU.  Catches
+    interaction bugs between the axes; asserts the run completes, the
+    stats moved, and the ckpt round-trips through the dense model."""
+    import ast
+    from flax import serialization
+    from glam_tpu.data.batching import GraphLoader
+    trainer = _run(tmp_path, extra=[
+        "--pair_batch", "3", "--halo", "ring",
+        "--graph_norm", "_BatchNorm", "--graph_do", "Dropout(0.2)",
+        "--graph_act", "RReLU", "--epochs", "2"])
+    assert trainer.B == 3 and trainer._has_bn and trainer.stochastic
+    assert trainer.halo == "ring"
+    res = json.loads((trainer.log_save_dir / "result.json").read_text())
+    assert np.isfinite(res["loss"]["testloss"])
+    with open(trainer.log_save_dir / "final_save.ckpt", "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    stats = serialization.from_bytes(trainer._pair_bn0,
+                                     payload["batch_stats"])
+    ra = stats["mol2"]["conv"]["BatchNorm_0"]
+    assert float(np.abs(np.asarray(ra["mean"])).sum()) > 0
+    merged = serialization.from_bytes(trainer._flax_params,
+                                      payload["params"])
+    chunk = trainer.splits["test"][:3]
+    mol_b, pro_in, y, w = trainer._collate(chunk)
+    logits, _ = trainer._infer(trainer.params, mol_b, pro_in, y)
+    for b, pair in enumerate(chunk):
+        m1, _, _ = trainer._sample(pair)
+        pro_b = next(iter(GraphLoader([pair[1]], 1, 1)))
+        dense = np.asarray(trainer.model.apply(
+            {"params": merged, "batch_stats": stats}, m1, pro_b,
+            True))[0]
+        np.testing.assert_allclose(np.asarray(logits)[b], dense,
+                                   rtol=1e-4, atol=1e-4)

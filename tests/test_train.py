@@ -352,3 +352,18 @@ class TestTrainerUtilities:
         df = pd.read_csv(tmp_path / "splits" / "train.csv")
         assert {"smiles", "label"} <= set(df.columns)
         assert len(df) == len(ds.train)
+
+
+def test_train_stats_logging(tmp_path, monkeypatch):
+    """GLAM_TRAIN_STATS=1 logs the per-epoch achieved edges/s and
+    prefetch stall fraction (the product-path observability hook)."""
+    monkeypatch.setenv("GLAM_TRAIN_STATS", "1")
+    import glam_tpu.run as r
+    trainer = r.main(["--dataset", "demo",
+                      "--dataset_root", "datasets/demo",
+                      "--loss", "bcel", "--epochs", "1",
+                      "--batch_size", "64", "--e_dim", "16",
+                      "--work_dir", str(tmp_path)])
+    log = (trainer.log_save_dir / "log.txt").read_text()
+    assert "train stats:" in log
+    assert "prefetch stall" in log
