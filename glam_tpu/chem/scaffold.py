@@ -22,8 +22,8 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .smiles import Mol, SmilesError, parse_smiles
-from .stereo import (double_bond_descriptors, tetrahedral_descriptors,
-                     wl_refine)
+from .stereo import (allene_descriptors, double_bond_descriptors,
+                     tetrahedral_descriptors, wl_refine)
 
 
 def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
@@ -128,7 +128,9 @@ def molecule_key(smiles: str) -> str:
     ranks = wl_refine(labels, bonds)
     tet = tetrahedral_descriptors(mol, ranks)
     ez = double_bond_descriptors(mol, ranks)
-    labels = {i: lab + f"|S{tet.get(i, 0)}" for i, lab in labels.items()}
+    al = allene_descriptors(mol, ranks)
+    labels = {i: lab + f"|S{tet.get(i, 0)}|A{al.get(i, 0)}"
+              for i, lab in labels.items()}
     bonds = [(b.a, b.b, f"{b.order}{ez.get(bi, '')}")
              for bi, b in enumerate(mol.bonds)]
     return _wl_hash(labels, bonds)

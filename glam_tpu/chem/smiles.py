@@ -78,15 +78,16 @@ SP, SP2, SP3, OTHER_HYB = 1, 2, 3, 0
 CHIRAL_NONE, CHIRAL_CCW, CHIRAL_CW = 0, 1, 2  # none / '@' / '@@'
 
 # ---------------------------------------------------------------------------
-# Exotic stereo classes (@AL allene / @SP square-planar / @TB trigonal-
-# bipyramidal / @OH octahedral) are parsed but carry NO canonical
-# descriptor (chem/stereo.py handles tetrahedral + cis/trans only), so
-# molecules differing only in such a tag merge into ONE identity —
-# unlike the reference's isomericSmiles=True dedup
-# (/root/reference/src_2gi_ddi/dataset.py:118-124).  The merge is rare
-# in drug corpora but must not be silent: every dropped tag is counted
-# here and warned about once per class; dataset loaders print the
-# corpus total so reports show how many identities merged.
+# Exotic stereo classes: @AL (allene axial chirality) is CANONICALIZED
+# like tetrahedral tags (chem/stereo.py:allene_descriptors — extended
+# tetrahedral per OpenSMILES), with unresolvable centers counted here.
+# @SP/@TB/@OH (square-planar / trigonal-bipyramidal / octahedral) carry
+# no canonical descriptor, so molecules differing only in such a tag
+# merge into ONE identity — unlike the reference's isomericSmiles=True
+# dedup (/root/reference/src_2gi_ddi/dataset.py:118-124).  The merge is
+# rare in drug corpora but must not be silent: every dropped tag is
+# counted here and warned about once per class; dataset loaders print
+# the corpus total so reports show how many identities merged.
 _EXOTIC_STEREO_RE = re.compile(r"@(AL|SP|TB|OH)\d+$")
 _exotic_stereo_counts: Dict[str, int] = {}
 
@@ -126,6 +127,10 @@ class Atom:
     # stereo-free (the reference's 15-dim layout has no stereo columns,
     # src_1gp/dataset.py:60-97); only identity keys consume these.
     chiral: int = CHIRAL_NONE
+    # extended-tetrahedral (allene) tag: "AL1"/"AL2", canonicalized by
+    # chem/stereo.py:allene_descriptors (SP/TB/OH classes stay dropped
+    # loudly — see _record_exotic_stereo)
+    exotic_chiral: str = ""
     written_nbrs: List[int] = field(default_factory=list)
     first_nbr_is_prev: bool = False    # True if written_nbrs[0] is the
     #                                    preceding atom (H-insert rule)
@@ -209,6 +214,7 @@ def _parse_bracket(body: str) -> Atom:
     else:
         charge = 0
     chi = m.group("chiral") or ""
+    exotic = ""
     if chi.startswith("@@") or chi in ("@TH2",):
         chiral = CHIRAL_CW
     elif chi in ("@", "@TH1"):
@@ -216,10 +222,17 @@ def _parse_bracket(body: str) -> Atom:
     else:
         chiral = CHIRAL_NONE
         em = _EXOTIC_STEREO_RE.match(chi)
-        if em:  # @AL/@SP/@TB/@OH: dropped LOUDLY (counted + warned)
-            _record_exotic_stereo(em.group(1))
+        if em:
+            if em.group(1) == "AL":
+                # allene axial tag: recorded and CANONICALIZED
+                # (chem/stereo.py); unresolvable centers are counted
+                # there, at identity time
+                exotic = chi[1:]  # e.g. "AL1"
+            else:  # @SP/@TB/@OH: dropped LOUDLY (counted + warned)
+                _record_exotic_stereo(em.group(1))
     return Atom(symbol=sym if sym != "*" else "*", aromatic=aromatic,
                 charge=charge, explicit_h=explicit_h, chiral=chiral,
+                exotic_chiral=exotic,
                 isotope=int(m.group("iso") or 0), in_bracket=True)
 
 

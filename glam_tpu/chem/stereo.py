@@ -98,6 +98,63 @@ def tetrahedral_descriptors(mol: Mol,
     return out
 
 
+def allene_descriptors(mol: Mol, ranks: Dict[int, str]) -> Dict[int, int]:
+    """Canonical axial-chirality tag per @AL-tagged allene center:
+    {center atom index: 1 or 2}.
+
+    OpenSMILES defines @AL1/@AL2 as EXTENDED TETRAHEDRAL: the four
+    neighbor slots are the substituents of the two double-bond termini
+    in order of appearance, interpreted exactly like '@'/'@@'
+    (@AL1 = anticlockwise).  Canonicalization therefore reuses the
+    tetrahedral machinery: permutation parity between the as-written
+    substituent order (implicit H occupying its terminus's written
+    slot) and the WL-rank-sorted order re-expresses the tag
+    spelling-invariantly.  Substituent keys are tie-broken by their
+    terminus's rank, so the H atoms of a 1,3-disubstituted allene
+    (X-CH=C=CH-Y, X != Y) stay distinguishable.
+
+    Centers that cannot be canonicalized (locally symmetric termini
+    such as 1,3-dimethylallene, ring-closure placeholders, >1 H on a
+    terminus) are COUNTED as dropped via the exotic-stereo counter —
+    the merge is never silent."""
+    from .smiles import _record_exotic_stereo
+    out: Dict[int, int] = {}
+    for i, atom in enumerate(mol.atoms):
+        exo = atom.exotic_chiral
+        if not exo.startswith("AL"):
+            continue
+        tag = {"AL1": 1, "AL2": 2}.get(exo, 0)
+        termini = [mol.bonds[bi].other(i) for bi in atom.bonds
+                   if mol.bonds[bi].order == DOUBLE]
+        keys = []
+        ok = tag != 0 and len(termini) == 2
+        if ok:
+            for t in termini:
+                ta = mol.atoms[t]
+                lst = list(ta.written_nbrs)
+                if any(x < -1 for x in lst):  # unresolved ring slot
+                    ok = False
+                    break
+                nh = (ta.explicit_h or 0) if ta.in_bracket else ta.num_h
+                if nh > 1:
+                    ok = False
+                    break
+                if nh == 1:
+                    lst.insert(1 if ta.first_nbr_is_prev else 0, -1)
+                subs = [x for x in lst if x != i]
+                if len(subs) != 2:
+                    ok = False
+                    break
+                for x in subs:
+                    keys.append(("~H" if x == -1 else ranks[x],
+                                 ranks[t]))
+        if ok and len(set(keys)) == 4:
+            out[i] = tag if _parity(keys) == 0 else (3 - tag)
+        else:
+            _record_exotic_stereo("AL")
+    return out
+
+
 def double_bond_descriptors(mol: Mol,
                             ranks: Dict[int, str]) -> Dict[int, str]:
     """Canonical cis/trans flag per configured double bond:

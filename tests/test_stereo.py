@@ -137,10 +137,12 @@ class TestSpellingInvarianceStillHolds:
 
 
 class TestExoticStereoDroppedLoudly:
-    """@AL/@SP/@TB/@OH tags carry no canonical descriptor: identities
+    """@SP/@TB/@OH tags carry no canonical descriptor: identities
     merge (unlike the reference's isomericSmiles=True dedup,
     src_2gi_ddi/dataset.py:118-124) — but never silently.  Every drop
-    is counted and warned (VERDICT round-3 item 6)."""
+    is counted and warned (VERDICT round-3 item 6).  @AL is
+    canonicalized since round 4 (TestAlleneStereo); only its
+    UNRESOLVABLE centers hit the counter."""
 
     def setup_method(self):
         from glam_tpu.chem.smiles import reset_exotic_stereo_counts
@@ -155,11 +157,13 @@ class TestExoticStereoDroppedLoudly:
             parse_smiles("F[Pt@SP1](Cl)(Cl)F")          # square planar
             parse_smiles("S[As@TB1](F)(Cl)Br")          # trig. bipyr.
             parse_smiles("F[Co@OH1](F)(F)(F)(F)F")      # octahedral
-            parse_smiles("CC(F)=[C@AL1]=C(C)Cl")        # allene
+            # @AL is CANONICALIZED (allene_descriptors), not counted
+            # at parse
+            parse_smiles("CC(F)=[C@AL1]=C(C)Cl")
         counts = exotic_stereo_counts()
-        assert counts == {"SP": 1, "TB": 1, "OH": 1, "AL": 1}
+        assert counts == {"SP": 1, "TB": 1, "OH": 1}
         assert sum("DROPPED for molecule identity" in str(x.message)
-                   for x in w) == 4
+                   for x in w) == 3
 
     def test_identities_merge_as_documented(self):
         # the documented (loud) behavior: tags differing only in the
@@ -211,3 +215,63 @@ class TestExoticStereoDroppedLoudly:
         pt_keys = {k for k in ds.mol_store
                    if ds.mol_store[k].smi.startswith("F[Pt")}
         assert len(pt_keys) == 1
+
+
+class TestAlleneStereo:
+    """@AL allene axial chirality (round 4): canonicalized as OpenSMILES
+    extended tetrahedral — the two termini's substituents, in order of
+    appearance, interpreted like '@'/'@@' — so respellings collapse and
+    enantiomers stay distinct."""
+
+    def _key(self, s):
+        import warnings
+        from glam_tpu.chem.scaffold import molecule_key
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return molecule_key(s)
+
+    def test_enantiomers_distinct(self):
+        a = self._key("CC(F)=[C@AL1]=C(C)Cl")
+        b = self._key("CC(F)=[C@AL2]=C(C)Cl")
+        assert a and b and a != b
+
+    def test_substituent_swap_respelling_collapses(self):
+        # swapping one terminus's substituents in the writing is an
+        # ODD permutation: the flipped tag spells the SAME enantiomer
+        a = self._key("CC(F)=[C@AL1]=C(C)Cl")
+        assert self._key("FC(C)=[C@AL2]=C(C)Cl") == a
+        # ...and without the flip it is the OTHER one
+        assert self._key("FC(C)=[C@AL1]=C(C)Cl") == \
+            self._key("CC(F)=[C@AL2]=C(C)Cl")
+
+    def test_terminus_exchange_collapses(self):
+        # writing the termini in the other order is the EVEN (13)(24)
+        # permutation: same tag, same molecule
+        a = self._key("CC(F)=[C@AL1]=C(C)Cl")
+        assert self._key("CC(Cl)=[C@AL1]=C(C)F") == a
+
+    def test_implicit_h_termini(self):
+        # 1-fluoro-3-methylallene: H occupies its terminus's written
+        # slot; enantiomers resolve
+        f1 = self._key("CC=[C@AL1]=CF")
+        f2 = self._key("CC=[C@AL2]=CF")
+        assert f1 and f2 and f1 != f2
+
+    def test_symmetric_allene_counted_not_silent(self):
+        # 1,3-dimethylallene: WL ranks cannot pin the substituent
+        # order (both termini equivalent) — the tags merge, but the
+        # drop is COUNTED
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        g1 = self._key("CC=[C@AL1]=CC")
+        g2 = self._key("CC=[C@AL2]=CC")
+        assert g1 == g2 != ""
+        assert exotic_stereo_counts().get("AL", 0) == 2
+
+    def test_untagged_allene_unaffected(self):
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        k = self._key("CC(F)=C=C(C)Cl")
+        assert k and exotic_stereo_counts() == {}
