@@ -165,7 +165,8 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
                + e_local * HC * 2            # a_e
                + e_local * heads * C * 3     # alpha * eh * xh gather-mult
                + n_local * HC * C * 2        # aggr @ wscale
-               + n_local * C * 3 * C * 2 * 2)  # GRU two matmuls
+               + n_local * C * 3 * C * 2 * 2   # GRU two matmuls
+               + fusion_nm * n_local * C * 2)  # pair-path fusion einsum
         flops_step = 3 * fwd * steps         # fwd + bwd ~ 3x fwd
         # --- overlappable FLOPs: independent of the halo result ------
         # eh projection + a_i/a_e local attention terms, plus (pair
