@@ -59,13 +59,13 @@ class DDIDataset:
             csv = self.root / "raw" / f"{dataset}.csv"
         df = pd.read_csv(csv)
         self.mol_store: Dict[str, GraphArrays] = {}
+        # unresolvable exotic stereo tags (@SP/@TB/@OH, symmetric @AL)
+        # merge spellings into ONE store key — count the UNIQUE store
+        # molecules affected (not raw parse events: molecule_key and
+        # featurization each re-parse, and repeated CSV rows re-key),
+        # so the report states how many identities actually merged
+        self._exotic_keys: set = set()
         pairs: List[Tuple[str, str, float]] = []
-        # exotic stereo tags (@AL/@SP/@TB/@OH) carry no canonical
-        # descriptor, so spellings differing only in such a tag merge
-        # into ONE store key — count and report so the corpus report
-        # shows how many identities merged (VERDICT round-3 item 6)
-        from ..chem.smiles import exotic_stereo_counts
-        exotic_before = sum(exotic_stereo_counts().values())
         for s1, s2, y in zip(df["Drug1_SMILES"], df["Drug2_SMILES"],
                              df["label"]):
             k1 = self._featurize(str(s1))
@@ -74,12 +74,12 @@ class DDIDataset:
                 continue
             pairs.append((k1, k2, float(y)))
         self.pairs = pairs
-        self.n_exotic_stereo_dropped = (
-            sum(exotic_stereo_counts().values()) - exotic_before)
+        self.n_exotic_stereo_dropped = len(self._exotic_keys)
         if self.n_exotic_stereo_dropped:
-            print(f"[{dataset}] dropped {self.n_exotic_stereo_dropped} "
-                  "exotic stereo tags (@AL/@SP/@TB/@OH): those "
-                  "stereoisomer identities merged in the molecule store")
+            print(f"[{dataset}] {self.n_exotic_stereo_dropped} store "
+                  "molecule(s) carry exotic stereo tags with no "
+                  "canonical descriptor (@SP/@TB/@OH or unresolvable "
+                  "@AL): those stereoisomer identities merged")
         self.num_tasks = 1
         labels = {p[2] for p in pairs}
         if num_classes is not None:
@@ -104,9 +104,13 @@ class DDIDataset:
     def _featurize(self, smi: str) -> Optional[str]:
         """Featurize once per canonical molecule; returns its store key
         (canonical dedup parity with reference dataset.py:118-124)."""
+        from ..chem.smiles import exotic_stereo_counts
+        before = sum(exotic_stereo_counts().values())
         key = molecule_key(smi)
         if not key:
             return None
+        if sum(exotic_stereo_counts().values()) > before:
+            self._exotic_keys.add(key)
         if key not in self.mol_store:
             g = _mol_graph(smi, 0.0)
             if g is None:

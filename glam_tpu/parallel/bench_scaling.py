@@ -169,14 +169,17 @@ def analytic(L: int = 900, C: int = 60, heads: int = 3, steps: int = 3,
                + fusion_nm * n_local * C * 2)  # pair-path fusion einsum
         flops_step = 3 * fwd * steps         # fwd + bwd ~ 3x fwd
         # --- overlappable FLOPs: independent of the halo result ------
-        # eh projection + a_i/a_e local attention terms, plus (pair
-        # path) the deferred fusion einsum over the molecule's Nm rows;
-        # xp itself FEEDS the exchange, so it cannot hide behind it
-        ov_fwd = (e_local * 8 * HC * 2       # eh
-                  + n_local * HC * 2         # a_i
-                  + e_local * HC * 2         # a_e
-                  + fusion_nm * n_local * C * 2)  # deferred fusion
-        ov_step = 3 * ov_fwd * steps         # same fwd+bwd scaling
+        # eh projection + a_i/a_e local attention terms overlap within
+        # EVERY step; the deferred fusion einsum overlaps the NEXT
+        # step's exchange, so only S-1 of S fusions can hide (the last
+        # step has no subsequent collective).  xp itself FEEDS the
+        # exchange, so it cannot hide behind it.
+        ov_core = (e_local * 8 * HC * 2      # eh
+                   + n_local * HC * 2        # a_i
+                   + e_local * HC * 2)       # a_e
+        ov_fusion = fusion_nm * n_local * C * 2
+        ov_step = 3 * (ov_core * steps
+                       + ov_fusion * max(steps - 1, 0))
         # --- ICI bytes per shard per message step (v2 halo, fwd) ---
         halo_rows = D * H                    # padded all_to_all buffer
         bytes_fwd = halo_rows * (heads * C + heads) * 4

@@ -191,6 +191,7 @@ class ShardedPairTrainer:
         self._wait = 0
         self._start_epoch = 1
         self._best_params = self.params
+        self._best_bn = (self._mol_bn, self._pro_ra)
 
         # ---- run dir / logging --------------------------------------
         base = Path(work_dir or ".") / f"log_{args.get('dataset', 'dti')}"
@@ -547,11 +548,11 @@ class ShardedPairTrainer:
         best = (min(self.records["val_losses"])
                 if self.records["val_losses"] else float("inf"))
         best_params, wait = self._best_params, self._wait
-        best_bn = (self._mol_bn, self._pro_ra)
+        best_bn = self._best_bn  # best-EPOCH stats (survives resume)
         for ep in range(self._start_epoch, epochs + 1):
             order = np.random.RandomState(seed + ep).permutation(
                 len(self.splits["train"]))
-            tr_losses = []
+            tr_losses = []  # (chunk mean loss, n real pairs)
             if self.B == 1:
                 for i in order:
                     mol_b, pro_in, y = self._sample(
@@ -561,7 +562,7 @@ class ShardedPairTrainer:
                     self.params, self.opt_state, lv = self._step(
                         self.params, self.opt_state, mol_b, inputs,
                         jnp.asarray(y))
-                    tr_losses.append(float(lv))
+                    tr_losses.append((float(lv), 1))
             else:
                 for lo in range(0, len(order), self.B):
                     chunk = [self.splits["train"][i]
@@ -572,7 +573,9 @@ class ShardedPairTrainer:
                     self.params, self.opt_state, lv = self._step(
                         self.params, self.opt_state, mol_b, inputs,
                         y, w)
-                    tr_losses.append(float(lv))
+                    # size-weighted epoch mean: the short final chunk
+                    # must not be over-weighted (dense-Trainer parity)
+                    tr_losses.append((float(lv), len(chunk)))
             val_loss, val_m = self.valid_iterations("valid")
             self.records["val_losses"].append(val_loss)
             lr = get_learning_rate(self.opt_state)
@@ -580,12 +583,16 @@ class ShardedPairTrainer:
             if new_lr != lr:
                 self.opt_state = set_learning_rate(self.opt_state,
                                                    new_lr)
-            self.log(f"Epoch:{ep} trn_loss:{np.mean(tr_losses):.4f} "
+            n_tr = sum(n for _, n in tr_losses)
+            trn_loss = (sum(l * n for l, n in tr_losses)
+                        / max(n_tr, 1))
+            self.log(f"Epoch:{ep} trn_loss:{trn_loss:.4f} "
                      f"val_loss:{val_loss:.4f} val_result:{val_m} "
                      f"lr_cur:{new_lr:.7f}")
             if val_loss < best:
                 best, best_params, wait = val_loss, self.params, 0
                 best_bn = (self._mol_bn, self._pro_ra)
+                self._best_params, self._best_bn = best_params, best_bn
                 self.save_ckpt(ep)
             else:
                 wait += 1
@@ -701,6 +708,12 @@ class ShardedPairTrainer:
         if self._has_bn:
             payload["mol_bn"] = serialization.to_bytes(self._mol_bn)
             payload["pro_ra"] = serialization.to_bytes(self._pro_ra)
+            # the BEST-epoch stats too: on resume, the final checkpoint
+            # must pair best-epoch params with best-epoch statistics
+            payload["best_mol_bn"] = serialization.to_bytes(
+                self._best_bn[0])
+            payload["best_pro_ra"] = serialization.to_bytes(
+                self._best_bn[1])
         with open(self.log_save_dir / "last_save.ckpt", "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
 
@@ -740,6 +753,11 @@ class ShardedPairTrainer:
                                                     payload["mol_bn"])
             self._pro_ra = serialization.from_bytes(self._pro_ra,
                                                     payload["pro_ra"])
+            self._best_bn = (
+                serialization.from_bytes(self._mol_bn,
+                                         payload["best_mol_bn"]),
+                serialization.from_bytes(self._pro_ra,
+                                         payload["best_pro_ra"]))
         self._wait = int(payload["wait"])
         self._start_epoch = int(payload["epoch"]) + 1
         self.log_save_dir = path.parent

@@ -146,12 +146,17 @@ def _polygon_positions(cycle: List[int], fixed: Dict[int, np.ndarray],
     pinned = [a for a in cycle if a in fixed]
     if len(pinned) >= 2:
         # find a pinned ADJACENT pair in the cycle = the shared edge
+        v = None
         for k in range(m):
-            u, v = cycle[k], cycle[(k + 1) % m]
-            if u in fixed and v in fixed:
+            u, v2 = cycle[k], cycle[(k + 1) % m]
+            if u in fixed and v2 in fixed:
+                v = v2
                 break
-        else:  # pinned atoms not adjacent (bridged): fall back to u
-            u, v = pinned[0], None
+        if v is None:
+            # pinned atoms not adjacent (bridged): anchor the polygon
+            # on ONE pinned atom instead of discarding the anchors —
+            # drop to the single-pin branch below
+            pinned = [pinned[0]]
         if v is not None:
             # orient the cycle so walking from v proceeds AWAY from u
             idx = cycle.index(v)
@@ -256,9 +261,15 @@ def _place_ring_system(rings: List[List[int]], sys_rings: List[int],
 
 def _largest_gap_angles(pos: Dict[int, np.ndarray], u: int,
                         nbr_pos: List[np.ndarray], n_new: int,
-                        linear: bool) -> List[float]:
+                        linear: bool,
+                        grandparent: Optional[np.ndarray] = None
+                        ) -> List[float]:
     """Angles (radians) for ``n_new`` new substituents of atom ``u``,
-    spread inside the largest free angular gap around it."""
+    spread inside the largest free angular gap around it.
+    ``grandparent`` (the parent's previous atom) makes chains ZIGZAG:
+    the new bond goes to the side of the u-parent axis OPPOSITE the
+    grandparent (trans), instead of always turning the same way —
+    which would curl a hexane chain into a closed hexagon."""
     pu = pos[u]
     angles = sorted(math.atan2(*(p - pu)[::-1]) for p in nbr_pos)
     if not angles:
@@ -266,9 +277,15 @@ def _largest_gap_angles(pos: Dict[int, np.ndarray], u: int,
     if linear and len(angles) == 1 and n_new == 1:
         return [angles[0] + math.pi]
     if len(angles) == 1 and n_new == 1:
-        # standard zigzag: 120 degrees off the existing bond; pick the
-        # side by the parent's OTHER neighbors so chains alternate
-        return [angles[0] + math.pi - math.pi / 3.0]
+        # standard 120-degree chain geometry: two candidate sides
+        cand = [angles[0] + math.pi - math.pi / 3.0,
+                angles[0] + math.pi + math.pi / 3.0]
+        if grandparent is None:
+            return [cand[0]]
+        # trans zigzag: take the side farther from the grandparent
+        pts = [pu + np.array([math.cos(a), math.sin(a)]) for a in cand]
+        d = [np.linalg.norm(p - grandparent) for p in pts]
+        return [cand[0] if d[0] >= d[1] else cand[1]]
     gaps = []
     for i in range(len(angles)):
         a0 = angles[i]
@@ -356,9 +373,18 @@ def layout2d(mol: Mol) -> np.ndarray:
                 continue
             # ring-system members of u handled during system placement;
             # if v belongs to an UNPLACED system, place v then its system
-            nbr_pos = [pos[v] for v in neighbors[u] if v in pos]
+            placed_nb = [v for v in neighbors[u] if v in pos]
+            nbr_pos = [pos[v] for v in placed_nb]
+            gp = None
+            if len(placed_nb) == 1:
+                w = placed_nb[0]
+                others = [x for x in neighbors[w]
+                          if x != u and x in pos]
+                if others:
+                    gp = pos[others[0]]
             angs = _largest_gap_angles(pos, u, nbr_pos, len(new),
-                                       is_linear_center(u))
+                                       is_linear_center(u),
+                                       grandparent=gp)
             for v, ang in zip(new, angs):
                 p = pos[u] + BOND * np.array([math.cos(ang),
                                               math.sin(ang)])
@@ -433,8 +459,9 @@ def layout2d(mol: Mol) -> np.ndarray:
             delta = P[:, None, :] - P[None, :, :]
             dist = np.linalg.norm(delta, axis=-1) + 1e-9
             np.fill_diagonal(dist, np.inf)
-            rep = np.where(dist < 1.3 * BOND,
-                           0.25 * (1.3 * BOND - dist) / dist, 0.0)
+            with np.errstate(invalid="ignore"):
+                rep = np.where(dist < 1.3 * BOND,
+                               0.25 * (1.3 * BOND - dist) / dist, 0.0)
             F += (rep[..., None] * delta).sum(axis=1)
             coincident = ~np.isfinite(F).all(axis=1) | (dist.min(1) < 1e-6)
             if coincident.any():

@@ -500,3 +500,50 @@ def test_feature_matrix_pair_batch_ring_bn_stochastic(tmp_path):
             True))[0]
         np.testing.assert_allclose(np.asarray(logits)[b], dense,
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_bn_resume_final_ckpt_parity(tmp_path):
+    """Resume with BatchNorm: the final checkpoint must pair the
+    BEST-epoch params with the BEST-epoch running statistics (code
+    review r4: best_bn was seeded from the resumed LAST-epoch stats)."""
+    from flax import serialization
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:16], ds.val[:8], ds.test[:8]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 3, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5", "graph_norm": "_BatchNorm",
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "_None()"}
+
+    def final_payload(tr):
+        with open(tr.log_save_dir / "final_save.ckpt", "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    a = ShardedPairTrainer({**base, "epochs": 3}, ds,
+                           task="pair_binary",
+                           work_dir=str(tmp_path / "straight"))
+    a.train()
+    b1 = ShardedPairTrainer({**base, "epochs": 1}, ds,
+                            task="pair_binary",
+                            work_dir=str(tmp_path / "resumed1"))
+    b1.train()
+    b2 = ShardedPairTrainer({**base, "epochs": 3}, ds,
+                            task="pair_binary",
+                            work_dir=str(tmp_path / "resumed2"))
+    b2.resume(b1.log_save_dir)
+    b2.train()
+    pa, pb = final_payload(a), final_payload(b2)
+    sa = serialization.from_bytes(a._pair_bn0, pa["batch_stats"])
+    sb = serialization.from_bytes(b2._pair_bn0, pb["batch_stats"])
+    for x, y in zip(jax.tree_util.tree_leaves(sa),
+                    jax.tree_util.tree_leaves(sb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)

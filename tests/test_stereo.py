@@ -210,8 +210,9 @@ class TestExoticStereoDroppedLoudly:
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             ds = DDIDataset(str(tmp_path), dataset="ddi")
-        assert ds.n_exotic_stereo_dropped == 2
-        # the two Pt spellings merged into one store molecule
+        # the two @SP spellings merged into ONE store molecule — the
+        # report counts unique merged identities, not parse events
+        assert ds.n_exotic_stereo_dropped == 1
         pt_keys = {k for k in ds.mol_store
                    if ds.mol_store[k].smi.startswith("F[Pt")}
         assert len(pt_keys) == 1

@@ -69,6 +69,18 @@ class TestChains:
             v2 = xy[i + 1] - xy[i]
             cos = v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
             np.testing.assert_allclose(cos, -0.5, atol=1e-5)
+        # a true ZIGZAG extends (always turning one way would curl a
+        # 6-chain into a closed hexagon with ends 1 bond apart);
+        # bl is already in median-bond units
+        med = float(np.median([np.linalg.norm(xy[b.a] - xy[b.b])
+                               for b in mol.bonds]))
+        assert np.linalg.norm(xy[5] - xy[0]) / med > 3.0
+
+    def test_octane_extends(self):
+        mol, xy, bl, dmin = _metrics("CCCCCCCC")
+        # end-to-end distance grows monotonically along the chain
+        d = [np.linalg.norm(xy[i] - xy[0]) for i in (3, 5, 7)]
+        assert d[0] < d[1] < d[2]
 
     def test_triple_bond_collinear(self):
         mol, xy, bl, dmin = _metrics("CC#CC")
