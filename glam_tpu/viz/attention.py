@@ -148,11 +148,43 @@ def draw_molecule(smiles: str, weights: Optional[np.ndarray] = None,
     from .layout2d import layout2d
     pos = layout2d(mol)
     fig, ax = plt.subplots(figsize=(5, 5))
+    span = float(np.abs(pos).max()) + 1e-9
+    off = 0.035 * span  # parallel-line offset, scale-relative
+    nbrs = [set() for _ in range(mol.num_atoms())]
+    for b in mol.bonds:
+        nbrs[b.a].add(b.b)
+        nbrs[b.b].add(b.a)
     for b in mol.bonds:
         pa, pb = pos[b.a], pos[b.b]
-        lw = 2.5 if b.order >= 2 else 1.5
-        ax.plot([pa[0], pb[0]], [pa[1], pb[1]], color="0.4",
-                lw=lw, zorder=1)
+        d = pb - pa
+        n = np.array([-d[1], d[0]])
+        n = n / (np.linalg.norm(n) + 1e-12)
+        # ring bonds put the second line on the RING side: common
+        # neighbors of the endpoints sit inside the ring
+        common = nbrs[b.a] & nbrs[b.b]
+        side = 1.0
+        if common:
+            mid = (pa + pb) / 2.0
+            c = np.mean([pos[x] for x in common], axis=0)
+            side = 1.0 if float(n @ (c - mid)) >= 0 else -1.0
+        # chemist-standard bond marks: single = one line, double = two
+        # parallel, triple = three, aromatic = solid + dashed inner
+        if b.order == 2:
+            if common:  # in-ring double: main line + inner second line
+                offsets, styles = [0.0, side], ["-", "-"]
+            else:
+                offsets, styles = [-0.5, 0.5], ["-", "-"]
+        elif b.order == 3:
+            offsets, styles = [-1.0, 0.0, 1.0], ["-", "-", "-"]
+        elif b.order == 4:
+            offsets, styles = [0.0, side], ["-", (0, (3, 3))]
+        else:
+            offsets, styles = [0.0], ["-"]
+        for o, ls in zip(offsets, styles):
+            q = n * o * off
+            ax.plot([pa[0] + q[0], pb[0] + q[0]],
+                    [pa[1] + q[1], pb[1] + q[1]], color="0.4",
+                    lw=1.5, linestyle=ls, zorder=1)
     w = (weights if weights is not None
          else np.zeros(mol.num_atoms(), np.float32))
     colors = cm.coolwarm(np.clip(w, 0, 1))
