@@ -234,11 +234,11 @@ def _place_ring_system(rings: List[List[int]], sys_rings: List[int],
     ``away_hint`` (the attaching chain atom's position) orients the
     FIRST ring away from the rest of the molecule."""
     todo = list(sys_rings)
-    # start from a ring with the most already-placed atoms (attachment)
-    todo.sort(key=lambda ri: -sum(1 for a in rings[ri] if a in pos))
     placed_rings: List[int] = []
     while todo:
         # pick the ring sharing most atoms with current placement
+        # (first iteration: the ring with the most pre-placed
+        # attachment atoms)
         todo.sort(key=lambda ri: -sum(1 for a in rings[ri] if a in pos))
         ri = todo.pop(0)
         cycle = rings[ri]
