@@ -549,7 +549,10 @@ class ShardedPairTrainer:
                 if self.records["val_losses"] else float("inf"))
         best_params, wait = self._best_params, self._wait
         best_bn = self._best_bn  # best-EPOCH stats (survives resume)
+        import os
+        stats = os.environ.get("GLAM_TRAIN_STATS", "0") == "1"
         for ep in range(self._start_epoch, epochs + 1):
+            t_ep = time.time() if stats else 0.0
             order = np.random.RandomState(seed + ep).permutation(
                 len(self.splits["train"]))
             tr_losses = []  # (chunk mean loss, n real pairs)
@@ -576,6 +579,13 @@ class ShardedPairTrainer:
                     # size-weighted epoch mean: the short final chunk
                     # must not be over-weighted (dense-Trainer parity)
                     tr_losses.append((float(lv), len(chunk)))
+            if stats:
+                # achieved pairs/s through the training loop (the
+                # float(lv) conversions above synchronized every step)
+                dt = time.time() - t_ep
+                self.log(f"\ttrain stats: {len(order)} pairs in "
+                         f"{dt:.2f}s = {len(order) / max(dt, 1e-9):.2f}"
+                         " pairs/s")
             val_loss, val_m = self.valid_iterations("valid")
             self.records["val_losses"].append(val_loss)
             lr = get_learning_rate(self.opt_state)

@@ -547,3 +547,12 @@ def test_bn_resume_final_ckpt_parity(tmp_path):
                     jax.tree_util.tree_leaves(b2.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_train_stats_logging(tmp_path, monkeypatch):
+    """GLAM_TRAIN_STATS=1 logs per-epoch pairs/s in the sharded
+    trainer too (observability parity with the dense Trainer)."""
+    monkeypatch.setenv("GLAM_TRAIN_STATS", "1")
+    trainer = _run(tmp_path, extra=["--pair_batch", "2"])
+    log = (trainer.log_save_dir / "log.txt").read_text()
+    assert "train stats:" in log and "pairs/s" in log
