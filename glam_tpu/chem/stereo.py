@@ -113,10 +113,23 @@ def allene_descriptors(mol: Mol, ranks: Dict[int, str]) -> Dict[int, int]:
     terminus's rank, so the H atoms of a 1,3-disubstituted allene
     (X-CH=C=CH-Y, X != Y) stay distinguishable.
 
-    Centers that cannot be canonicalized (locally symmetric termini
-    such as 1,3-dimethylallene, ring-closure placeholders, >1 H on a
-    terminus) are COUNTED as dropped via the exotic-stereo counter —
-    the merge is never silent."""
+    SYMMETRIC 1,3-disubstituted allenes (penta-2,3-diene,
+    1,3-difluoroallene — the most common chiral-allene pattern, ADVICE
+    round-4) get a final tie-break by terminus APPEARANCE order: when
+    the two termini's (substituent rank, terminus rank) pairs tie
+    PAIRWISE, reversing the traversal swaps both tied pairs at once —
+    an even permutation — so the written-vs-canonical parity stays
+    spelling-invariant and the enantiomers resolve.  A PARTIAL
+    cross-terminus tie (one pair tied, the other not — only reachable
+    through WL-rank collisions on non-symmetric graphs) would make the
+    appearance tie-break odd under traversal reversal, so those stay
+    dropped.
+
+    Centers that cannot be canonicalized (a terminus with two
+    WL-equal substituents — genuinely non-stereogenic, partial ties
+    as above, ring-closure placeholders, >1 H on a terminus) are
+    COUNTED as dropped via the exotic-stereo counter — the merge is
+    never silent."""
     from .smiles import _record_exotic_stereo
     out: Dict[int, int] = {}
     for i, atom in enumerate(mol.atoms):
@@ -129,7 +142,7 @@ def allene_descriptors(mol: Mol, ranks: Dict[int, str]) -> Dict[int, int]:
         keys = []
         ok = tag != 0 and len(termini) == 2
         if ok:
-            for t in termini:
+            for tid, t in enumerate(termini):
                 ta = mol.atoms[t]
                 lst = list(ta.written_nbrs)
                 if any(x < -1 for x in lst):  # unresolved ring slot
@@ -147,8 +160,18 @@ def allene_descriptors(mol: Mol, ranks: Dict[int, str]) -> Dict[int, int]:
                     break
                 for x in subs:
                     keys.append(("~H" if x == -1 else ranks[x],
-                                 ranks[t]))
-        if ok and len(set(keys)) == 4:
+                                 ranks[t], tid))
+        if ok:
+            two = [(k[0], k[1]) for k in keys]  # rank pair, no tid
+            if two[0] == two[1] or two[2] == two[3]:
+                ok = False  # within-terminus tie: not stereogenic
+            elif len(set(two)) == 4:
+                pass        # fully distinct: tid never consulted
+            elif sorted(two[:2]) == sorted(two[2:]):
+                pass        # fully symmetric termini: tid breaks evenly
+            else:
+                ok = False  # partial cross-tie: parity not stable
+        if ok:
             out[i] = tag if _parity(keys) == 0 else (3 - tag)
         else:
             _record_exotic_stereo("AL")

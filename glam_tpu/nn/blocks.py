@@ -86,6 +86,9 @@ class GRUCell(nn.Module):
 
 
 class MessageBlock(nn.Module):
+    """``norm_axis``/``bn_stats_weight`` join _BatchNorm statistics
+    across a named vmap axis (see norms.BatchNorm.axis_name) — used by
+    the batched sharded pair forward for dense packed-batch parity."""
     in_dim: int
     out_dim: int
     edge_dim: int
@@ -94,6 +97,7 @@ class MessageBlock(nn.Module):
     conv: str = "_NNConv"
     act: str = "ReLU()"
     res: bool = True
+    norm_axis: Optional[str] = None
 
     @property
     def has_gru(self) -> bool:
@@ -102,14 +106,16 @@ class MessageBlock(nn.Module):
     @nn.compact
     def __call__(self, x, edge_attr, senders, receivers, h=None, *,
                  node_graph=None, n_node=None, node_mask=None, ell=None,
-                 pack=None, deterministic: bool = True):
+                 pack=None, deterministic: bool = True,
+                 bn_stats_weight=None):
         rate = parse_dropout(self.dropout)
         identity = x
         if h is None:
             h = x
-        y = get_norm(self.norm, self.in_dim)(
+        y = get_norm(self.norm, self.in_dim, axis_name=self.norm_axis)(
             x, node_graph=node_graph, node_mask=node_mask, n_node=n_node,
-            use_running_average=deterministic)
+            use_running_average=deterministic,
+            stats_weight=bn_stats_weight)
         if rate > 0.0:
             y = nn.Dropout(rate=rate, deterministic=deterministic)(y)
         conv_mod = get_conv(self.conv, self.in_dim, self.out_dim,

@@ -66,7 +66,11 @@ class ModelConfig:
 
 class _Tower(nn.Module):
     """pre-linear -> message_steps x weight-tied MessageBlock (GRU state
-    threaded) -> readout -> flat LinearBlock."""
+    threaded) -> readout -> flat LinearBlock.
+
+    ``norm_axis``/``bn_stats_weight`` (batched sharded pair path only)
+    join the MessageBlock's _BatchNorm statistics across a named vmap
+    axis — dense packed-batch parity; see norms.BatchNorm.axis_name."""
     in_dim: int
     edge_dim: int
     hid_dim: int
@@ -76,10 +80,11 @@ class _Tower(nn.Module):
     message_steps: int
     cfg: ModelConfig
     max_nodes: int
+    norm_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, g: GraphBatch, deterministic: bool = True,
-                 return_nodes: bool = False):
+                 return_nodes: bool = False, bn_stats_weight=None):
         c = self.cfg
         common = dict(node_graph=g.node_graph, n_node=g.n_node,
                       node_mask=g.node_mask, deterministic=deterministic)
@@ -89,7 +94,8 @@ class _Tower(nn.Module):
         conv = MessageBlock(self.hid_dim, self.hid_dim, self.edge_dim,
                             norm=c.graph_norm, dropout=c.graph_do,
                             conv=self.block, act=c.graph_act,
-                            res=c.graph_res, name="conv")
+                            res=c.graph_res, norm_axis=self.norm_axis,
+                            name="conv")
         ell = ((g.ell_nbr, g.ell_edge, g.ell_mask)
                if g.ell_nbr is not None else None)
         pack = ((g.pack_perm, g.pack_local, g.pack_snd, g.pack_start,
@@ -100,7 +106,8 @@ class _Tower(nn.Module):
             x, h = conv(x, g.edges, g.senders, g.receivers, h,
                         node_graph=g.node_graph, n_node=g.n_node,
                         node_mask=g.node_mask, ell=ell, pack=pack,
-                        deterministic=deterministic)
+                        deterministic=deterministic,
+                        bn_stats_weight=bn_stats_weight)
             xs.append(x)
         readout, mult = get_readout(self.readout, self.hid_dim,
                                     self.max_nodes)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.segment import segment_count, segment_sum
@@ -30,20 +31,31 @@ class NoNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, node_graph=None, node_mask=None, n_node=None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True, stats_weight=None):
         return x
 
 
 class BatchNorm(nn.Module):
     """Masked BatchNorm1d with torch semantics (biased var to normalize,
-    unbiased var into running stats, momentum 0.1)."""
+    unbiased var into running stats, momentum 0.1).
+
+    ``axis_name`` (optional) joins the batch statistics across a named
+    vmap/shard axis: the masked (count, sum, sq-sum) accumulators are
+    psum'd over that axis before normalizing, so B vmapped instances
+    normalize with ONE joint batch statistic — the packed-batch
+    semantics of the dense path (used by the batched sharded pair
+    forward, parallel/sharded_model.py).  ``stats_weight`` (call-time
+    scalar) weights this instance's contribution to those joint
+    statistics (0 = excluded, e.g. a padding pair); the normalization
+    itself is always applied to every row."""
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, node_graph=None, node_mask=None, n_node=None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True, stats_weight=None):
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var",
@@ -54,14 +66,16 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             if node_mask is None:
-                cnt = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, 0)
-                var = jnp.mean((x - mean) ** 2, 0)
+                m = jnp.ones((x.shape[0], 1), x.dtype)
             else:
                 m = node_mask.astype(x.dtype)[:, None]
-                cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, 0) / cnt
-                var = jnp.sum(((x - mean) ** 2) * m, 0) / cnt
+            if stats_weight is not None:
+                m = m * stats_weight
+            psum = ((lambda v: jax.lax.psum(v, self.axis_name))
+                    if self.axis_name is not None else (lambda v: v))
+            cnt = jnp.maximum(psum(jnp.sum(m)), 1.0)
+            mean = psum(jnp.sum(x * m, 0)) / cnt
+            var = psum(jnp.sum(((x - mean) ** 2) * m, 0)) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
@@ -79,7 +93,7 @@ class GraphLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, node_graph=None, node_mask=None, n_node=None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True, stats_weight=None):
         scale = self.param("scale", lambda k, s: jnp.ones(s), (self.features,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (self.features,))
         if node_graph is None:
@@ -105,7 +119,7 @@ class PairNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, node_graph=None, node_mask=None, n_node=None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True, stats_weight=None):
         if node_graph is None:
             xc = x - jnp.mean(x, 0)
             ms = jnp.mean(jnp.sum(xc * xc, -1))
@@ -124,7 +138,7 @@ class GraphSizeNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, node_graph=None, node_mask=None, n_node=None,
-                 use_running_average: bool = True):
+                 use_running_average: bool = True, stats_weight=None):
         if node_graph is None:
             return x / jnp.sqrt(jnp.asarray(x.shape[0], x.dtype))
         inv = jnp.where(n_node > 0,
@@ -142,8 +156,13 @@ NORMS = {
 }
 
 
-def get_norm(name: str, features: int) -> nn.Module:
+def get_norm(name: str, features: int,
+             axis_name: Optional[str] = None) -> nn.Module:
+    """``axis_name`` applies to _BatchNorm only: join batch statistics
+    across that named vmap/shard axis (see BatchNorm.axis_name)."""
     key = name.strip()
     if key not in NORMS:
         raise KeyError(f"unknown norm {name!r}; have {sorted(NORMS)}")
+    if key == "_BatchNorm" and axis_name is not None:
+        return BatchNorm(features=features, axis_name=axis_name)
     return NORMS[key](features=features)

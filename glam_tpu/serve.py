@@ -241,6 +241,21 @@ class PairPredictor:
                 stats = serialization.from_bytes(
                     variables["batch_stats"], payload["batch_stats"])
             except ValueError:
+                # only an EMPTY payload (pre-BN checkpoint) may fall
+                # back to init stats; a non-empty batch_stats payload
+                # that fails to restore means corrupt/mismatched
+                # trained running averages — serving with init stats
+                # would be silently wrong (ADVICE round-4)
+                restored = serialization.msgpack_restore(
+                    payload["batch_stats"]) if isinstance(
+                        payload["batch_stats"], bytes) else \
+                    payload["batch_stats"]
+                if restored:
+                    raise ValueError(
+                        f"checkpoint {run_dir / which} carries a "
+                        "non-empty batch_stats payload that does not "
+                        "match this model's batch_stats tree — "
+                        "refusing to serve with init running stats")
                 stats = {}  # pre-BN checkpoint with an empty payload
         return cls(model, params, args, hetero, contact_maps,
                    batch_stats=stats)

@@ -391,7 +391,9 @@ class ShardedPairTrainer:
         # batch (weight-0 rows are padding repeats of the last chunk)
         def objective_b(params, mol_bn, mol_b, pro_in, y, w):
             if has_bn:
-                pred, new_bn, stats = fwd_t(params, mol_b, mol_bn,
+                # w also weights the cross-pair JOINT BN statistics
+                # (padding repeats excluded — dense packed-batch parity)
+                pred, new_bn, stats = fwd_t(params, mol_b, mol_bn, w,
                                             *pro_in)
                 per = jax.vmap(loss)(pred, y)
             else:
@@ -741,10 +743,16 @@ class ShardedPairTrainer:
         # break the bit-identical resume guarantee ('auto' re-resolves
         # deterministically on the same corpus, so flag equality
         # suffices)
+        # absent keys compare against the flag DEFAULTS (ADVICE
+        # round-4): a pre-round-4 checkpoint without 'pair_batch' must
+        # not silently resume under --pair_batch 4 (different chunking/
+        # loss weighting would break bit-identical resume)
+        defaults = {"halo": "a2a", "pair_batch": 1}
         for k in ("dataset", "seed", "model_cfg", "optim", "task",
                   "pro_shards", "halo", "pair_batch"):
-            if k in saved_args and k in self.args \
-                    and saved_args[k] != self.args[k]:
+            saved = saved_args.get(k, defaults.get(k))
+            cur = self.args.get(k, defaults.get(k))
+            if saved is not None and cur is not None and saved != cur:
                 raise ValueError(f"resume mismatch on {k!r}")
         self.records = json.loads(payload["records"])
         sched = json.loads(payload["scheduler"])

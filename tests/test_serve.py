@@ -145,3 +145,34 @@ class TestPairPredictor:
         want = (ex / ex.sum())[1]
         np.testing.assert_allclose(scores[0], want, rtol=1e-4,
                                    atol=1e-4)
+
+    def test_corrupt_batch_stats_payload_raises(self, tmp_path):
+        """A NON-empty batch_stats payload that fails to restore must
+        raise, not silently drop the trained running averages (ADVICE
+        round-4): falling back to init stats only for genuinely
+        pre-BN (empty) payloads."""
+        import glam_tpu.run as r
+        from flax import serialization
+        from glam_tpu.serve import PairPredictor
+        trainer = r.main(["--dataset", "drugbank_caster",
+                          "--dataset_root", "datasets/ddi_demo",
+                          "--epochs", "1", "--batch_size", "32",
+                          "--e_dim", "16", "--hid_dim_alpha", "2",
+                          "--message_steps", "1",
+                          "--graph_norm", "_BatchNorm",
+                          "--work_dir", str(tmp_path)])
+        ckpt = trainer.log_save_dir / "best_save.ckpt"
+        payload = serialization.msgpack_restore(ckpt.read_bytes())
+        # corrupt: shape-mismatched (wrong-features) batch_stats tree
+        bad = {"mol1": {"conv": {"BatchNorm_0": {
+            "mean": np.zeros(3, np.float32),
+            "var": np.ones(3, np.float32)}}}}
+        payload["batch_stats"] = serialization.to_bytes(bad)
+        ckpt.write_bytes(serialization.msgpack_serialize(payload))
+        with pytest.raises(ValueError, match="batch_stats"):
+            PairPredictor.from_checkpoint(trainer.log_save_dir)
+        # an EMPTY payload (pre-BN checkpoint layout) still loads
+        payload["batch_stats"] = serialization.to_bytes({})
+        ckpt.write_bytes(serialization.msgpack_serialize(payload))
+        pred = PairPredictor.from_checkpoint(trainer.log_save_dir)
+        assert pred.batch_stats == {}

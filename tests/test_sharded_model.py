@@ -1161,3 +1161,118 @@ class TestBatchNormPair:
         fwd_e = make_sharded_pair_forward(mesh, cfg, bn_mode="running")
         got = np.asarray(fwd_e(params, g1, stats["mol1"], *inputs))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+class TestBatchNormPairBatched:
+    """BatchNorm with pair_batch B>1 (ADVICE round-4 medium): the
+    batched sharded train forward computes JOINT cross-pair batch
+    statistics in BOTH towers, matching the dense PairArchitecture
+    applied to the PACKED B-pair batch (the reference batch-loop
+    semantics) — not per-pair statistics."""
+    B = 3
+
+    def _setup(self, n_real=None):
+        from glam_tpu.parallel.sharded_model import extract_pair_params
+        n_real = n_real or self.B
+        cfg = _pair_cfg(240)
+        cfg = type(cfg)(**{**cfg.__dict__, "graph_norm": "_BatchNorm"})
+        mols, pros = [], []
+        for b in range(n_real):
+            mol, pro = _pair_setup(seed=20 + b)
+            mols.append(mol)
+            pros.append(pro)
+        # weight-0 padding repeats of the last real pair (trainer's
+        # _collate convention) fill the chunk up to B
+        w = [1.0] * n_real + [0.0] * (self.B - n_real)
+        mols += [mols[-1]] * (self.B - n_real)
+        pros += [pros[-1]] * (self.B - n_real)
+        model, g1, g2, variables = _pair_batches_and_model(
+            mols[0], pros[0], cfg)
+        g1s = [next(iter(GraphLoader([GraphArrays(
+            nodes=m[0], edges=m[1], senders=m[2], receivers=m[3],
+            y=np.zeros(1, np.float32))], 1, 1))) for m in mols]
+        stacked_mols = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *g1s)
+        stacked_pro = _stack_pro_inputs(pros, D)
+        # dense packed batches over the REAL pairs only
+        packed1 = next(iter(GraphLoader([GraphArrays(
+            nodes=m[0], edges=m[1], senders=m[2], receivers=m[3],
+            y=np.zeros(1, np.float32)) for m in mols[:n_real]],
+            n_real, 1)))
+        packed2 = next(iter(GraphLoader([GraphArrays(
+            nodes=p[0], edges=p[1], senders=p[2], receivers=p[3],
+            y=np.zeros(1, np.float32)) for p in pros[:n_real]],
+            n_real, 1)))
+        params = extract_pair_params(variables["params"], "_GCNConv",
+                                     "GlobalLAPool",
+                                     graph_norm="_BatchNorm")
+        mesh = make_mesh(jax.devices()[:D], ("graph",))
+        return (model, variables, cfg, mesh, params, stacked_mols,
+                stacked_pro, packed1, packed2,
+                jnp.asarray(w, jnp.float32), n_real)
+
+    def _run_batched(self, mesh, cfg, params, bn0, sm, sp, w):
+        from glam_tpu.parallel.sharded_model import (
+            make_sharded_pair_forward, make_stochastic_inputs)
+        fwd_t = make_sharded_pair_forward(mesh, cfg, stochastic=True,
+                                          track_bn_stats=True,
+                                          n_pairs=self.B)
+        n_global = sp[0].shape[1] * sp[0].shape[2]  # D * Nl
+        drops, slopes = [], []
+        for b in range(self.B):
+            d, s = make_stochastic_inputs(
+                jax.random.fold_in(jax.random.PRNGKey(3), b), n_global,
+                cfg.hid_dim, cfg.message_steps, D, rate=0.0)
+            drops.append(jnp.asarray(d))
+            slopes.append(jnp.asarray(s))
+        mol_rngs = jax.random.split(jax.random.PRNGKey(9), self.B)
+        return fwd_t(params, sm, bn0["mol1"], w, mol_rngs, *sp,
+                     jnp.stack(drops), jnp.stack(slopes))
+
+    def _check(self, n_real):
+        (model, variables, cfg, mesh, params, sm, sp, packed1, packed2,
+         w, n_real) = self._setup(n_real)
+        out_d, upd = model.apply(variables, packed1, packed2, False,
+                                 rngs={"dropout": jax.random.PRNGKey(5)},
+                                 mutable=["batch_stats"])
+        dense_stats = upd["batch_stats"]
+        bn0 = variables["batch_stats"]
+        pred, new_bn, (pm, pv) = self._run_batched(
+            mesh, cfg, params, bn0, sm, sp, w)
+        # real rows match the dense packed-batch rows (JOINT statistics)
+        np.testing.assert_allclose(
+            np.asarray(pred)[:n_real, 0], np.asarray(out_d)[:n_real, 0],
+            rtol=5e-4, atol=1e-5)
+        # molecule-tower EMA stats: every per-pair row equals the dense
+        # single update (identical joint statistics)
+        got_bn = jax.tree_util.tree_map(lambda x: x[0], new_bn)
+        for k in ("mean", "var"):
+            ref = np.asarray(
+                dense_stats["mol1"]["conv"]["BatchNorm_0"][k])
+            for b in range(self.B):
+                np.testing.assert_allclose(
+                    np.asarray(new_bn["conv"]["BatchNorm_0"][k][b]),
+                    ref, rtol=2e-4, atol=1e-6)
+        # protein-tower EMA == dense weight-tied sequential updates
+        mean = np.asarray(bn0["mol2"]["conv"]["BatchNorm_0"]["mean"])
+        var = np.asarray(bn0["mol2"]["conv"]["BatchNorm_0"]["var"])
+        pm0, pv0 = np.asarray(pm)[0], np.asarray(pv)[0]
+        for b in range(self.B):  # identical across pairs
+            np.testing.assert_allclose(np.asarray(pm)[b], pm0,
+                                       rtol=1e-5, atol=1e-7)
+        for s in range(pm0.shape[0]):
+            mean = 0.9 * mean + 0.1 * pm0[s]
+            var = 0.9 * var + 0.1 * pv0[s]
+        ref = dense_stats["mol2"]["conv"]["BatchNorm_0"]
+        np.testing.assert_allclose(mean, np.asarray(ref["mean"]),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(var, np.asarray(ref["var"]),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_full_chunk_matches_dense_packed_batch(self):
+        self._check(n_real=self.B)
+
+    def test_short_chunk_weights_exclude_padding_repeats(self):
+        """2 real pairs + 1 weight-0 repeat: joint statistics equal the
+        dense packed batch of the 2 REAL pairs only."""
+        self._check(n_real=2)

@@ -556,3 +556,36 @@ def test_sharded_train_stats_logging(tmp_path, monkeypatch):
     trainer = _run(tmp_path, extra=["--pair_batch", "2"])
     log = (trainer.log_save_dir / "log.txt").read_text()
     assert "train stats:" in log and "pairs/s" in log
+
+
+def test_resume_rejects_defaulted_key_mismatch(tmp_path):
+    """A pre-round-4 checkpoint whose saved args LACK 'pair_batch'
+    must not silently resume under --pair_batch 4: absent keys compare
+    against the flag defaults (ADVICE round-4)."""
+    import json
+    from flax import serialization
+    from glam_tpu.data.pair_datasets import BindingDBDataset
+    from glam_tpu.train.sharded_pair_trainer import ShardedPairTrainer
+    ds = BindingDBDataset("datasets/dti_demo")
+    ds.train, ds.val, ds.test = ds.train[:8], ds.val[:4], ds.test[:4]
+    base = {"dataset": "bindingdb_c", "pro_shards": 4, "lr": 1e-3,
+            "seed": 3, "e_dim": 16, "hid_dim_alpha": 2,
+            "message_steps": 1, "mol_block": "_TripletMessage",
+            "pro_block": "_GCNConv", "pro_readout": "GlobalLAPool",
+            "mol_readout": "GlobalPool5", "epochs": 1,
+            "graph_act": "CELU", "pre_act": "CELU", "flat_act": "CELU",
+            "end_act": "CELU", "graph_do": "_None()"}
+    a = ShardedPairTrainer(dict(base), ds, task="pair_binary",
+                           work_dir=str(tmp_path / "old"))
+    a.save_resume_ckpt(epoch=1, wait=0)
+    ckpt = a.log_save_dir / "last_save.ckpt"
+    payload = serialization.msgpack_restore(ckpt.read_bytes())
+    saved = json.loads(payload["args"])
+    saved.pop("pair_batch", None)  # pre-round-4 layout
+    payload["args"] = json.dumps(saved)
+    ckpt.write_bytes(serialization.msgpack_serialize(payload))
+    b = ShardedPairTrainer({**base, "pair_batch": 4}, ds,
+                           task="pair_binary",
+                           work_dir=str(tmp_path / "new"))
+    with pytest.raises(ValueError, match="pair_batch"):
+        b.resume(a.log_save_dir)

@@ -258,15 +258,43 @@ class TestAlleneStereo:
         f2 = self._key("CC=[C@AL2]=CF")
         assert f1 and f2 and f1 != f2
 
-    def test_symmetric_allene_counted_not_silent(self):
-        # 1,3-dimethylallene: WL ranks cannot pin the substituent
-        # order (both termini equivalent) — the tags merge, but the
-        # drop is COUNTED
+    def test_symmetric_allene_enantiomers_distinct(self):
+        # penta-2,3-diene (1,3-dimethylallene): the common chiral-
+        # allene pattern — termini tie pairwise, the appearance-order
+        # tie-break resolves it (ADVICE round-4); no drop is counted
         from glam_tpu.chem.smiles import (exotic_stereo_counts,
                                           reset_exotic_stereo_counts)
         reset_exotic_stereo_counts()
         g1 = self._key("CC=[C@AL1]=CC")
         g2 = self._key("CC=[C@AL2]=CC")
+        assert g1 and g2 and g1 != g2
+        assert exotic_stereo_counts() == {}
+        # 1,3-difluoroallene too
+        f1 = self._key("FC=[C@AL1]=CF")
+        f2 = self._key("FC=[C@AL2]=CF")
+        assert f1 and f2 and f1 != f2
+
+    def test_symmetric_allene_respelling_collapses(self):
+        # starting the traversal AT a terminus cycles the four
+        # substituent slots (odd): the flipped tag spells the SAME
+        # enantiomer and must share its key
+        a1 = self._key("CC=[C@AL1]=CC")
+        a2 = self._key("CC=[C@AL2]=CC")
+        assert self._key("C(=[C@AL2]=CC)C") == a1
+        assert self._key("C(=[C@AL1]=CC)C") == a2
+        # explicit-H bracket spelling of the terminus: H stays in its
+        # written slot
+        assert self._key("C[CH]=[C@AL1]=CC") == a1
+
+    def test_nonstereogenic_allene_counted_not_silent(self):
+        # 1,1-dimethyl terminus: two WL-equal substituents on ONE
+        # terminus — genuinely non-stereogenic, the bogus tag is
+        # COUNTED as dropped
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        g1 = self._key("CC(C)=[C@AL1]=CC")
+        g2 = self._key("CC(C)=[C@AL2]=CC")
         assert g1 == g2 != ""
         assert exotic_stereo_counts().get("AL", 0) == 2
 
