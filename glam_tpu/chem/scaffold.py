@@ -23,7 +23,8 @@ import numpy as np
 
 from .smiles import Mol, SmilesError, parse_smiles
 from .stereo import (allene_descriptors, double_bond_descriptors,
-                     tetrahedral_descriptors, wl_refine)
+                     square_planar_descriptors, tetrahedral_descriptors,
+                     wl_refine)
 
 
 def murcko_scaffold(mol: Mol) -> Tuple[List[int], List[Tuple[int, int, int]]]:
@@ -129,7 +130,9 @@ def molecule_key(smiles: str) -> str:
     tet = tetrahedral_descriptors(mol, ranks)
     ez = double_bond_descriptors(mol, ranks)
     al = allene_descriptors(mol, ranks)
+    sp = square_planar_descriptors(mol, ranks)
     labels = {i: lab + f"|S{tet.get(i, 0)}|A{al.get(i, 0)}"
+              f"|P{sp.get(i, '')}"
               for i, lab in labels.items()}
     bonds = [(b.a, b.b, f"{b.order}{ez.get(bi, '')}")
              for bi, b in enumerate(mol.bonds)]

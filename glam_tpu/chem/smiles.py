@@ -223,12 +223,13 @@ def _parse_bracket(body: str) -> Atom:
         chiral = CHIRAL_NONE
         em = _EXOTIC_STEREO_RE.match(chi)
         if em:
-            if em.group(1) == "AL":
-                # allene axial tag: recorded and CANONICALIZED
-                # (chem/stereo.py); unresolvable centers are counted
-                # there, at identity time
-                exotic = chi[1:]  # e.g. "AL1"
-            else:  # @SP/@TB/@OH: dropped LOUDLY (counted + warned)
+            if em.group(1) in ("AL", "SP"):
+                # allene axial / square-planar tags: recorded and
+                # CANONICALIZED (chem/stereo.py allene_descriptors /
+                # square_planar_descriptors); unresolvable centers are
+                # counted there, at identity time
+                exotic = chi[1:]  # e.g. "AL1", "SP2"
+            else:  # @TB/@OH: dropped LOUDLY (counted + warned)
                 _record_exotic_stereo(em.group(1))
     return Atom(symbol=sym if sym != "*" else "*", aromatic=aromatic,
                 charge=charge, explicit_h=explicit_h, chiral=chiral,

@@ -178,6 +178,69 @@ def allene_descriptors(mol: Mol, ranks: Dict[int, str]) -> Dict[int, int]:
     return out
 
 
+_SP_TRANS = {
+    # OpenSMILES square-planar classes name the SHAPE the four listed
+    # neighbors trace on the square; the geometric content is which
+    # listed slots are TRANS (diagonal):
+    #   @SP1 'U' (perimeter order)  -> (0,2), (1,3)
+    #   @SP2 '4'                    -> (0,1), (2,3)
+    #   @SP3 'Z' (zigzag)           -> (0,3), (1,2)
+    # (the three classes are exactly the three perfect matchings of the
+    # four slots — OpenSMILES spec example C[Pt@SP1](F)(Cl)[H] puts C
+    # trans to Cl, confirming the U mapping)
+    "SP1": ((0, 2), (1, 3)),
+    "SP2": ((0, 1), (2, 3)),
+    "SP3": ((0, 3), (1, 2)),
+}
+
+
+def square_planar_descriptors(mol: Mol,
+                              ranks: Dict[int, str]) -> Dict[int, str]:
+    """Canonical square-planar descriptor per @SP-tagged center:
+    {atom index: string}.
+
+    A square-planar arrangement is fully characterized by its
+    TRANS-pairing (which two pairs of ligands sit diagonal) — the three
+    @SP classes are the three possible pairings, and every respelling
+    of one arrangement maps (order permutation + class change) to the
+    SAME pairing.  The canonical descriptor is therefore the sorted
+    multiset of sorted (WL rank, WL rank) trans pairs — spelling-
+    invariant by construction, and it distinguishes cis/trans
+    isomerism with WL-tied equivalent ligands (cisplatin
+    N[Pt@SP1](N)(Cl)Cl vs transplatin N[Pt@SP1](Cl)(N)Cl) where an
+    all-ranks-distinct requirement would fail.  Limitation (shared
+    with tetrahedral WL ranking): substituents that are WL-tied
+    without being graph-equivalent could merge distinct isomers —
+    a WL-collision class not observed in practice.
+
+    Centers that cannot be canonicalized (not exactly 4 neighbor
+    slots, unresolved ring placeholder, >1 implicit H) are COUNTED via
+    the exotic-stereo counter."""
+    from .smiles import _record_exotic_stereo
+    out: Dict[int, str] = {}
+    for i, atom in enumerate(mol.atoms):
+        exo = atom.exotic_chiral
+        if not exo.startswith("SP"):
+            continue
+        trans = _SP_TRANS.get(exo)
+        order = list(atom.written_nbrs)
+        ok = trans is not None and not any(x < -1 for x in order)
+        if ok:
+            nh = atom.explicit_h or 0
+            if nh > 1:
+                ok = False
+            elif nh == 1:
+                order.insert(1 if atom.first_nbr_is_prev else 0, -1)
+        if ok and len(order) == 4:
+            keys = ["~H" if x == -1 else ranks[x] for x in order]
+            pairs = sorted(
+                "+".join(sorted((keys[a], keys[b]))) for a, b in trans)
+            out[i] = "|".join(pairs)
+        else:
+            _record_exotic_stereo("SP")
+    return out
+
+
 def double_bond_descriptors(mol: Mol,
                             ranks: Dict[int, str]) -> Dict[int, str]:
     """Canonical cis/trans flag per configured double bond:

@@ -250,7 +250,9 @@ class PairGraphLoader:
     def __init__(self, pairs: Sequence[Tuple[GraphArrays, GraphArrays]],
                  batch_size: int, num_tasks: int, shuffle: bool = False,
                  seed: int = 0, pallas_pack1: bool = False,
-                 pallas_pack2: bool = False, n_devices: int = 1):
+                 pallas_pack2: bool = False, n_devices: int = 1,
+                 budget1: Optional[Tuple[int, int]] = None,
+                 budget2: Optional[Tuple[int, int]] = None):
         self.pairs = list(pairs)
         self.n_devices = max(int(n_devices), 1)
         if self.n_devices > 1:
@@ -279,8 +281,18 @@ class PairGraphLoader:
             return (_round_up(sum(ns[:batch_size]) + 1),
                     _round_up(max(sum(es[:batch_size]), 1)))
 
-        self.budget1 = budget(g1s)
-        self.budget2 = budget(g2s)
+        # caller-provided (node, edge) budget floors: serving pins these
+        # across predict calls so every call reuses ONE compiled
+        # executable; elementwise max with the computed worst case keeps
+        # padding sufficient for the pairs actually given
+        def merge(computed, given):
+            if given is None:
+                return computed
+            return (max(computed[0], int(given[0])),
+                    max(computed[1], int(given[1])))
+
+        self.budget1 = merge(budget(g1s), budget1)
+        self.budget2 = merge(budget(g2s), budget2)
         self.ell_k1 = None
         self.ell_k2 = None
         for which, gs, budget in (("1", g1s, self.budget1),

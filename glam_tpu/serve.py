@@ -183,7 +183,7 @@ class PairPredictor:
 
     def __init__(self, model, params, args: Dict, hetero: bool,
                  contact_maps: Optional[Dict] = None,
-                 batch_stats=None):
+                 batch_stats=None, batch_size: int = 16):
         self.model = model
         self.params = params
         self.args = args
@@ -192,6 +192,13 @@ class PairPredictor:
         self.task = args.get("task", "pair_binary")
         self.batch_stats = batch_stats or {}
         self._pro_cache: Dict[str, GraphArrays] = {}
+        # serving throughput: pairs are packed batch_size-at-a-time into
+        # ONE forward dispatch, and the pad budgets are STICKY across
+        # predict calls (monotone floors) so repeated calls with
+        # same-scale inputs reuse one compiled executable instead of
+        # recompiling per distinct worst-case shape
+        self.batch_size = max(int(batch_size), 1)
+        self._budget1 = self._budget2 = None
 
         def forward(params, batch_stats, b1, b2):
             variables = {"params": params}
@@ -208,8 +215,8 @@ class PairPredictor:
 
     @classmethod
     def from_checkpoint(cls, run_dir, which: str = "best_save.ckpt",
-                        contact_maps: Optional[Dict] = None
-                        ) -> "PairPredictor":
+                        contact_maps: Optional[Dict] = None,
+                        batch_size: int = 16) -> "PairPredictor":
         from .nn.model import ModelConfig, PairArchitecture
         run_dir = Path(run_dir)
         with open(run_dir / which, "rb") as f:
@@ -258,7 +265,7 @@ class PairPredictor:
                         "refusing to serve with init running stats")
                 stats = {}  # pre-BN checkpoint with an empty payload
         return cls(model, params, args, hetero, contact_maps,
-                   batch_stats=stats)
+                   batch_stats=stats, batch_size=batch_size)
 
     def _protein(self, seq: str) -> Optional[GraphArrays]:
         if seq in self._pro_cache:
@@ -303,7 +310,11 @@ class PairPredictor:
         out_dim = int(self.args.get("out_dim", 1))
         if valid:
             outs = []
-            for b1, b2 in PairGraphLoader(valid, 16, 1):
+            loader = PairGraphLoader(valid, self.batch_size, 1,
+                                     budget1=self._budget1,
+                                     budget2=self._budget2)
+            self._budget1, self._budget2 = loader.budget1, loader.budget2
+            for b1, b2 in loader:
                 out = np.asarray(self._forward(self.params, b1, b2))
                 outs.append(out[np.asarray(b1.graph_mask)])
             preds = np.concatenate(outs, axis=0)

@@ -137,12 +137,13 @@ class TestSpellingInvarianceStillHolds:
 
 
 class TestExoticStereoDroppedLoudly:
-    """@SP/@TB/@OH tags carry no canonical descriptor: identities
-    merge (unlike the reference's isomericSmiles=True dedup,
+    """@TB/@OH tags carry no canonical descriptor: identities merge
+    (unlike the reference's isomericSmiles=True dedup,
     src_2gi_ddi/dataset.py:118-124) — but never silently.  Every drop
     is counted and warned (VERDICT round-3 item 6).  @AL is
-    canonicalized since round 4 (TestAlleneStereo); only its
-    UNRESOLVABLE centers hit the counter."""
+    canonicalized since round 4 (TestAlleneStereo) and @SP since round
+    5 (TestSquarePlanarStereo); only their UNRESOLVABLE centers hit
+    the counter."""
 
     def setup_method(self):
         from glam_tpu.chem.smiles import reset_exotic_stereo_counts
@@ -154,26 +155,26 @@ class TestExoticStereoDroppedLoudly:
                                           parse_smiles)
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            parse_smiles("F[Pt@SP1](Cl)(Cl)F")          # square planar
             parse_smiles("S[As@TB1](F)(Cl)Br")          # trig. bipyr.
             parse_smiles("F[Co@OH1](F)(F)(F)(F)F")      # octahedral
-            # @AL is CANONICALIZED (allene_descriptors), not counted
-            # at parse
+            # @AL and @SP are CANONICALIZED (allene_descriptors /
+            # square_planar_descriptors), not counted at parse
             parse_smiles("CC(F)=[C@AL1]=C(C)Cl")
+            parse_smiles("F[Pt@SP1](Cl)(Cl)F")
         counts = exotic_stereo_counts()
-        assert counts == {"SP": 1, "TB": 1, "OH": 1}
+        assert counts == {"TB": 1, "OH": 1}
         assert sum("DROPPED for molecule identity" in str(x.message)
-                   for x in w) == 3
+                   for x in w) == 2
 
     def test_identities_merge_as_documented(self):
-        # the documented (loud) behavior: tags differing only in the
-        # exotic permutation number map to ONE key
+        # the documented (loud) behavior: TB/OH tags differing only in
+        # the exotic permutation number map to ONE key
         from glam_tpu.chem.scaffold import molecule_key
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            k1 = molecule_key("F[Pt@SP1](Cl)(Br)I")
-            k2 = molecule_key("F[Pt@SP2](Cl)(Br)I")
+            k1 = molecule_key("S[As@TB1](F)(Cl)(Br)N")
+            k2 = molecule_key("S[As@TB2](F)(Cl)(Br)N")
         assert k1 and k1 == k2
 
     def test_reset(self):
@@ -183,7 +184,7 @@ class TestExoticStereoDroppedLoudly:
                                           reset_exotic_stereo_counts)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            parse_smiles("F[Pt@SP1](Cl)(Cl)F")
+            parse_smiles("F[Co@OH1](F)(F)(F)(F)F")
         assert exotic_stereo_counts()
         reset_exotic_stereo_counts()
         assert exotic_stereo_counts() == {}
@@ -203,19 +204,32 @@ class TestExoticStereoDroppedLoudly:
         raw.mkdir()
         (raw / "ddi.csv").write_text(
             "Drug1_SMILES,Drug2_SMILES,label\n"
-            "F[Pt@SP1](Cl)(Br)I,CCO,1\n"
-            "F[Pt@SP2](Cl)(Br)I,CCN,0\n"
+            "S[As@TB1](F)(Cl)(Br)N,CCO,1\n"
+            "S[As@TB2](F)(Cl)(Br)N,CCN,0\n"
             "CCO,CCN,1\n")
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             ds = DDIDataset(str(tmp_path), dataset="ddi")
-        # the two @SP spellings merged into ONE store molecule — the
+        # the two @TB spellings merged into ONE store molecule — the
         # report counts unique merged identities, not parse events
         assert ds.n_exotic_stereo_dropped == 1
-        pt_keys = {k for k in ds.mol_store
-                   if ds.mol_store[k].smi.startswith("F[Pt")}
-        assert len(pt_keys) == 1
+        as_keys = {k for k in ds.mol_store
+                   if ds.mol_store[k].smi.startswith("S[As")}
+        assert len(as_keys) == 1
+        # @SP canonicalizes (round 5): cis/trans spellings stay
+        # DISTINCT store molecules, no drop counted
+        (raw / "ddi.csv").write_text(
+            "Drug1_SMILES,Drug2_SMILES,label\n"
+            "N[Pt@SP1](N)(Cl)Cl,CCO,1\n"
+            "N[Pt@SP1](Cl)(N)Cl,CCN,0\n")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ds2 = DDIDataset(str(tmp_path), dataset="ddi")
+        assert ds2.n_exotic_stereo_dropped == 0
+        pt_keys = {k for k in ds2.mol_store
+                   if ds2.mol_store[k].smi.startswith("N[Pt")}
+        assert len(pt_keys) == 2
 
 
 class TestAlleneStereo:
@@ -304,3 +318,82 @@ class TestAlleneStereo:
         reset_exotic_stereo_counts()
         k = self._key("CC(F)=C=C(C)Cl")
         assert k and exotic_stereo_counts() == {}
+
+
+class TestSquarePlanarStereo:
+    """@SP square-planar stereo (round 5, VERDICT item 6): canonical
+    trans-pairing descriptors — cis/trans platin-class isomers get
+    distinct keys, respellings (order permutations with the
+    compensating class change, traversal changes) collapse."""
+
+    def _key(self, s):
+        import warnings
+        from glam_tpu.chem.scaffold import molecule_key
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return molecule_key(s)
+
+    def test_cis_trans_platin_distinct(self):
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        cis = self._key("N[Pt@SP1](N)(Cl)Cl")     # U: N trans Cl x2
+        trans = self._key("N[Pt@SP1](Cl)(N)Cl")   # U: N-N, Cl-Cl
+        assert cis and trans and cis != trans
+        assert exotic_stereo_counts() == {}
+
+    def test_class_respelling_collapses(self):
+        # same LIGAND order, different class = different pairing:
+        # @SP2 ('4': slots 0-1 and 2-3 trans) on [N,N,Cl,Cl] is the
+        # TRANS isomer; @SP3 ('Z': 0-3, 1-2) is cis again
+        cis = self._key("N[Pt@SP1](N)(Cl)Cl")
+        trans = self._key("N[Pt@SP1](Cl)(N)Cl")
+        assert self._key("N[Pt@SP2](N)(Cl)Cl") == trans
+        assert self._key("N[Pt@SP3](N)(Cl)Cl") == cis
+        # order permutation with the compensating class change
+        assert self._key("N[Pt@SP2](Cl)(N)Cl") == cis
+
+    def test_four_distinct_ligands(self):
+        # OpenSMILES spec example shape: C trans Cl under @SP1
+        a = self._key("C[Pt@SP1](F)(Cl)I")
+        b = self._key("C[Pt@SP2](F)(Cl)I")
+        c = self._key("C[Pt@SP3](F)(Cl)I")
+        assert len({a, b, c}) == 3
+        # swapping two ligands in the writing with the matching class
+        # change respells the same isomer: [C,F,Cl,I]@SP1 pairs
+        # (C,Cl),(F,I); [F,C,Cl,I]@SP3 pairs (F,I),(C,Cl) — same
+        assert self._key("F[Pt@SP3](C)(Cl)I") == a
+
+    def test_implicit_h_slot(self):
+        # bracket H occupies its written slot (after the preceding
+        # atom): [Pt@SP1H](C)(F)Cl order is [H,C,F,Cl]? — first-atom
+        # centers put H first; via a preceding atom the H sits at
+        # slot 1.  C[Pt@SP1H](F)Cl = [C,H,F,Cl]: trans (C,F),(H,Cl)
+        a = self._key("C[Pt@SP1H](F)Cl")
+        b = self._key("C[Pt@SP2H](F)Cl")
+        assert a and b and a != b
+
+    def test_three_identical_ligands_merge_all_classes(self):
+        # {Cl,Cl,Cl,N}: all three pairings give the same rank multiset
+        # — genuinely no cis/trans isomerism, all classes one key
+        k1 = self._key("Cl[Pt@SP1](Cl)(Cl)N")
+        k2 = self._key("Cl[Pt@SP2](Cl)(Cl)N")
+        k3 = self._key("Cl[Pt@SP3](Cl)(Cl)N")
+        assert k1 == k2 == k3 != ""
+
+    def test_malformed_sp_counted(self):
+        # 3-coordinate @SP center cannot be interpreted: counted drop
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        k = self._key("C[Pt@SP1](F)Cl")
+        assert k != ""
+        assert exotic_stereo_counts().get("SP", 0) == 1
+
+    def test_tb_oh_still_counted(self):
+        from glam_tpu.chem.smiles import (exotic_stereo_counts,
+                                          reset_exotic_stereo_counts)
+        reset_exotic_stereo_counts()
+        k = self._key("S[As@TB1](F)(Cl)(Br)N")
+        assert k != ""
+        assert exotic_stereo_counts().get("TB", 0) == 1
