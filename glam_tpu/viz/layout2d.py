@@ -226,13 +226,135 @@ def _polygon_positions(cycle: List[int], fixed: Dict[int, np.ndarray],
     return out
 
 
+def _bicyclo_decompose(rings: List[List[int]],
+                       sys_rings: List[int]):
+    """Detect a bicyclo[x.y.z] (x,y,z >= 1) bridged system: exactly two
+    ring atoms of ring-degree 3 (the bridgeheads) joined by three
+    disjoint simple bridges.  Returns (B1, B2, [bridge paths ordered
+    B1 -> B2, longest first]) or None (ortho-fused systems have a
+    length-0 bridge and keep the shared-edge reflection path;
+    >2-bridgehead cages like adamantane keep the relaxation repair)."""
+    edges: Set[frozenset] = set()
+    atoms: Set[int] = set()
+    for ri in sys_rings:
+        atoms |= set(rings[ri])
+        edges |= set(_edge_set(rings[ri]))
+    adj: Dict[int, List[int]] = {a: [] for a in atoms}
+    for e in edges:
+        a, b = tuple(e)
+        adj[a].append(b)
+        adj[b].append(a)
+    heads = [a for a in atoms if len(adj[a]) == 3]
+    if len(heads) != 2 or any(len(adj[a]) > 3 for a in atoms):
+        return None
+    b1, b2 = heads
+    if b2 in adj[b1]:
+        return None  # direct bond = ortho-fused, not bridged
+    bridges = []
+    for start in adj[b1]:
+        path = [start]
+        prev, cur = b1, start
+        while cur != b2:
+            nxt = [w for w in adj[cur] if w != prev]
+            if len(nxt) != 1:
+                return None
+            prev, cur = cur, nxt[0]
+            if cur != b2:
+                path.append(cur)
+            if len(path) > len(atoms):
+                return None
+        bridges.append(path)
+    if len(bridges) != 3 or any(not p for p in bridges):
+        return None
+    seen = [a for p in bridges for a in p]
+    if len(seen) != len(set(seen)) or set(seen) | {b1, b2} != atoms:
+        return None
+    bridges.sort(key=len, reverse=True)
+    return b1, b2, bridges
+
+
+def _bridged_template(rings: List[List[int]], sys_rings: List[int],
+                      pos: Dict[int, np.ndarray],
+                      away_hint: Optional[np.ndarray]) -> bool:
+    """Template placement for bicyclo[x.y.z] cores (norbornane,
+    bicyclo[2.2.2]octane, tropane — VERDICT round-4 item 9): the two
+    longest bridges + bridgeheads form the perimeter polygon; the
+    shortest bridge is drawn ACROSS the interior with a perpendicular
+    bow (the classic norbornane apex).  Rigidly aligned to any
+    pre-placed member atoms.  Returns True when applied."""
+    dec = _bicyclo_decompose(rings, sys_rings)
+    if dec is None:
+        return False
+    b1, b2, (br1, br2, br3) = dec
+    perimeter = [b1] + br1 + [b2] + br2[::-1]
+    local = _polygon_positions(perimeter, {}, None)
+    center = np.mean([local[a] for a in perimeter], axis=0)
+    p1, p2 = local[b1], local[b2]
+    chord = p2 - p1
+    mid = (p1 + p2) / 2.0
+    toward = center - mid
+    tn = np.linalg.norm(toward)
+    if tn < 1e-9:  # bridgeheads antipodal: bow to a fixed side
+        toward = np.array([-chord[1], chord[0]])
+        tn = np.linalg.norm(toward) + 1e-9
+    toward = toward / tn
+    n3 = len(br3)
+    for k, a in enumerate(br3, start=1):
+        t = k / (n3 + 1.0)
+        bow = 0.45 * math.sin(math.pi * t)
+        local[a] = p1 + t * chord + bow * toward
+    # rigid alignment to pre-placed pins (Kabsch for >= 2 pins)
+    pinned = [a for a in local if a in pos]
+    if len(pinned) >= 2:
+        A = np.stack([local[a] for a in pinned])
+        B = np.stack([pos[a] for a in pinned])
+        ca, cb = A.mean(0), B.mean(0)
+        H = (A - ca).T @ (B - cb)
+        U, _, Vt = np.linalg.svd(H)
+        d = np.sign(np.linalg.det(Vt.T @ U.T))
+        R = Vt.T @ np.diag([1.0, d]) @ U.T
+        for a, p in local.items():
+            local[a] = R @ (p - ca) + cb
+    elif len(pinned) == 1:
+        a0 = pinned[0]
+        if away_hint is not None:
+            # rotate so the template centroid lies on the FAR side of
+            # the pinned atom from the rest of the molecule
+            d = (np.mean([p for p in local.values()], axis=0)
+                 - local[a0])
+            dn = np.linalg.norm(d)
+            want = pos[a0] - away_hint
+            wn = np.linalg.norm(want)
+            if dn > 1e-9 and wn > 1e-9:
+                ca = math.atan2(d[1], d[0])
+                wa = math.atan2(want[1], want[0])
+                th = wa - ca
+                R = np.array([[math.cos(th), -math.sin(th)],
+                              [math.sin(th), math.cos(th)]])
+                for a, p in local.items():
+                    local[a] = R @ (p - local[a0])
+                local = {a: p for a, p in local.items()}
+        shift = pos[a0] - local[a0]
+        for a, p in local.items():
+            local[a] = p + shift
+    for a, p in local.items():
+        if a not in pos:
+            pos[a] = p
+    return True
+
+
 def _place_ring_system(rings: List[List[int]], sys_rings: List[int],
                        pos: Dict[int, np.ndarray],
                        away_hint: Optional[np.ndarray] = None) -> None:
     """Place every ring of one fused system: BFS over rings, each new
     ring reflected to the far side of what is already placed.
     ``away_hint`` (the attaching chain atom's position) orients the
-    FIRST ring away from the rest of the molecule."""
+    FIRST ring away from the rest of the molecule.  Bicyclo[x.y.z]
+    bridged systems take the template path instead
+    (:func:`_bridged_template`)."""
+    if len(sys_rings) > 1 and _bridged_template(rings, sys_rings, pos,
+                                                away_hint):
+        return
     todo = list(sys_rings)
     placed_rings: List[int] = []
     while todo:

@@ -103,10 +103,38 @@ class TestChains:
 
 class TestRobustness:
     def test_bridged_fallback_no_collision(self):
-        # bridged polycyclic (documented approximate placement): bonds
-        # may stretch, but no two atoms may coincide
+        # polycyclic cage beyond the bicyclo template (morphinan):
+        # relaxation repair — bonds may stretch, atoms may not coincide
         mol, xy, bl, dmin = _metrics("CN1CCC23c4c5ccc(O)c4OC2C(O)C=CC3C1C5")
         assert dmin > 0.4
+
+    @pytest.mark.parametrize("name,smi", [
+        ("norbornane", "C1CC2CCC1C2"),
+        ("norbornene", "C1CC2CC1C=C2"),
+        ("tropane", "CN1C2CCC1CC2"),
+        ("camphor-skeleton", "CC1(C)C2CCC1(C)C(=O)C2"),
+    ])
+    def test_bicyclo_template_unit_bonds(self, name, smi):
+        # bicyclo[x.y.z] cores take the TEMPLATE path (round 5, VERDICT
+        # item 9): perimeter polygon at unit bonds + interior bridge
+        # with the classic apex bow; no relaxation distortion
+        mol, xy, bl, dmin = _metrics(smi)
+        assert bl.min() > 0.95 and bl.max() < 1.2, (name, bl)
+        assert dmin > 0.5, (name, dmin)
+
+    def test_bicyclo222_compressed_bridge(self):
+        # [2.2.2]: the interior 2-atom bridge draws compressed (the
+        # standard depiction); perimeter stays unit
+        mol, xy, bl, dmin = _metrics("C1CC2CCC1CC2")
+        assert bl.max() < 1.2 and bl.min() > 0.55
+        assert dmin > 0.45
+
+    def test_adamantane_repair_acceptable(self):
+        # 4 bridgeheads: beyond the bicyclo template, relaxation keeps
+        # it printable
+        mol, xy, bl, dmin = _metrics("C1C2CC3CC1CC(C2)C3")
+        assert bl.max() < 1.4 and bl.min() > 0.6
+        assert dmin > 0.45
 
     def test_corpus_smoke_no_collisions(self):
         import csv
@@ -125,7 +153,10 @@ class TestRobustness:
         from glam_tpu.viz.attention import draw_molecule
         for name, smi in [("aspirin", "CC(=O)Oc1ccccc1C(=O)O"),
                           ("caffeine", "CN1C=NC2=C1C(=O)N(C(=O)N2C)C"),
-                          ("azulene", "c1ccc2cccc2cc1")]:
+                          ("azulene", "c1ccc2cccc2cc1"),
+                          ("norbornane", "C1CC2CCC1C2"),
+                          ("morphine",
+                           "CN1CCC23c4c5ccc(O)c4OC2C(O)C=CC3C1C5")]:
             p = tmp_path / f"{name}.png"
             draw_molecule(smi, path=str(p), title=name)
             assert p.stat().st_size > 10_000
