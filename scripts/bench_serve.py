@@ -29,7 +29,8 @@ def train_ckpt(tmp: str) -> str:
                    cwd=os.path.join(os.path.dirname(__file__), ".."),
                    timeout=1800)
     base = os.path.join(tmp, "log_bindingdb_c")
-    runs = sorted(os.listdir(base))
+    runs = sorted(d for d in os.listdir(base)
+                  if os.path.isdir(os.path.join(base, d)))
     return os.path.join(base, runs[-1])
 
 

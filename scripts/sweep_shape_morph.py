@@ -37,7 +37,8 @@ FLAGSHIP = ["--dataset", "physprop_perturb",
             "--batch_size", "512", "--epochs", "1"]
 
 
-def child(node_budget: int, edge_budget: int, draws: int) -> None:
+def child(node_budget: int, edge_budget: int, draws: int,
+          max_nodes: int = 0) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,6 +48,10 @@ def child(node_budget: int, edge_budget: int, draws: int) -> None:
     from glam_tpu.train.pair_trainer import make_auto_trainer
 
     args = vars(build_parser().parse_args(FLAGSHIP))
+    if max_nodes:
+        # per-graph dense cap (sort-pool slots): semantics-free while
+        # >= the corpus max molecule (85 nodes on physprop)
+        args["max_nodes"] = max_nodes
     args, dataset, kind = auto_dataset(args)
     trainer = make_auto_trainer(args, dataset, kind,
                                 work_dir="/tmp/sweep_morph")
@@ -85,6 +90,7 @@ def child(node_budget: int, edge_budget: int, draws: int) -> None:
     print("SWEEP_RESULT " + json.dumps({
         "node_budget": tl.node_budget, "edge_budget": tl.edge_budget,
         "base_node_budget": base[0], "base_edge_budget": base[1],
+        "max_nodes": int(args.get("max_nodes", 132)),
         "rates_edges_per_sec": [round(r, 1) for r in rates],
     }), flush=True)
 
@@ -174,9 +180,10 @@ if __name__ == "__main__":
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--node-budget", type=int, default=0)
     ap.add_argument("--edge-budget", type=int, default=0)
+    ap.add_argument("--max-nodes", type=int, default=0)
     ap.add_argument("--draws", type=int, default=2)
     a = ap.parse_args()
     if a.sweep:
         sweep(a.draws)
     else:
-        child(a.node_budget, a.edge_budget, a.draws)
+        child(a.node_budget, a.edge_budget, a.draws, a.max_nodes)

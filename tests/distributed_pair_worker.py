@@ -44,7 +44,9 @@ def build_problem():
     from glam_tpu.parallel.sharded_model import extract_pair_params
 
     rng = np.random.RandomState(7)
-    Nm, Em, L, Ep = 20, 48, 96, 320
+    # kept SMALL: gloo's hard 30s rendezvous deadline must absorb the
+    # two workers' compile-time skew on this 2-core host
+    Nm, Em, L, Ep = 16, 36, 48, 144
     mols, pros, g1s = [], [], []
     for b in range(B):
         mols.append((rng.randn(Nm, 15).astype(np.float32),
@@ -58,7 +60,8 @@ def build_problem():
     cfg = ModelConfig(mol_block="_TripletMessage", pro_block="_GCNConv",
                       mol_readout="GlobalPool5",
                       pro_readout="GlobalLAPool", message_steps=2,
-                      e_dim=32, max_nodes=32, pro_max_nodes=L + 8,
+                      hid_dim_alpha=2,
+                      e_dim=16, max_nodes=24, pro_max_nodes=L + 8,
                       pre_norm="_None", graph_norm="_BatchNorm",
                       flat_norm="_None", end_norm="_None",
                       pre_do="_None()", graph_do="_None()",
@@ -118,30 +121,54 @@ def make_noise(cfg, pro_inputs):
     return np.stack(drops), np.stack(slopes)
 
 
+def _barrier(name: str, timeout_ms: int = 300_000) -> None:
+    """Cross-process barrier via the jax.distributed coordination
+    service (no-op single-process).  Unlike gloo collectives this
+    barrier's timeout is configurable, so it absorbs arbitrary
+    compile-time skew between the workers."""
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def run_case(mesh, cfg, params, bn0, stacked_mols, pro_inputs, drop,
-             slope, globalize_pro, put_rep):
+             slope, globalize_pro, put_rep, mol_rngs):
     """Train fwd+grad and running-eval on the given mesh; returns
-    numpy results (mesh-independent values)."""
+    numpy results (mesh-independent values).  ``mol_rngs`` must be a
+    HOST (numpy) array: after jax.distributed initialization,
+    locally-created jax arrays cannot be rematerialized to numpy, so
+    every input is generated before init and shipped in as numpy."""
     from glam_tpu.parallel.sharded_model import make_sharded_pair_forward
     fwd_t = make_sharded_pair_forward(mesh, cfg, stochastic=True,
                                       track_bn_stats=True, n_pairs=B)
-    mol_rngs = jax.random.split(jax.random.PRNGKey(9), B)
     bn_w = np.ones((B,), np.float32)
     y = np.asarray([0.2, -0.4], np.float32)
 
     gp = put_rep(params)
     gmols = put_rep(stacked_mols)
     gbn = put_rep(bn0["mol1"])
+    gw = put_rep(bn_w)
+    grngs = put_rep(mol_rngs)
+    gy = put_rep(y)
     inputs = globalize_pro(pro_inputs + (drop, slope))
 
-    def loss_fn(p):
+    def loss_fn(p, gmols, gbn, gw, grngs, gy, *inputs):
         pred, new_bn, (pm, pv) = fwd_t(
-            p, gmols, gbn, put_rep(bn_w), put_rep(mol_rngs), *inputs)
-        return jnp.mean((pred[:, 0] - put_rep(y)) ** 2), (pred, new_bn,
-                                                          pm, pv)
+            p, gmols, gbn, gw, grngs, *inputs)
+        return jnp.mean((pred[:, 0] - gy) ** 2), (pred, new_bn,
+                                                  pm, pv)
 
-    (loss, (pred, new_bn, pm, pv)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(gp)
+    # AOT-compile BEFORE executing any collective, then sync both
+    # workers through the COORDINATION-SERVICE barrier (configurable
+    # timeout) — gloo's context init has a hard 30s deadline that
+    # cannot absorb cross-worker compile skew on this 2-core host
+    step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    step_c = step.lower(gp, gmols, gbn, gw, grngs, gy,
+                        *inputs).compile()
+    _barrier("pair_step_compiled")
+    (loss, (pred, new_bn, pm, pv)), grads = step_c(
+        gp, gmols, gbn, gw, grngs, gy, *inputs)
 
     # running-average EVAL with the EMA'd stats
     from glam_tpu.parallel.sharded_model import extract_pair_params  # noqa
@@ -152,15 +179,20 @@ def run_case(mesh, cfg, params, bn0, stacked_mols, pro_inputs, drop,
     for s in range(pm0.shape[0]):
         mean = 0.9 * mean + 0.1 * pm0[s]
         var = 0.9 * var + 0.1 * pv0[s]
+    # keep numpy (NOT jnp): locally-created jax arrays cannot be fed
+    # through put_rep after distributed init
     eval_params = {**params, "pro": {**params["pro"],
-                                     "norm_ra": {"mean": jnp.asarray(mean),
-                                                 "var": jnp.asarray(var)}}}
+                                     "norm_ra": {"mean": mean,
+                                                 "var": var}}}
     mol_bn_new = jax.tree_util.tree_map(lambda x: np.asarray(x)[0],
                                         new_bn)
     fwd_e = make_sharded_pair_forward(mesh, cfg, bn_mode="running",
                                       n_pairs=B)
-    pred_e = fwd_e(put_rep(eval_params), gmols, put_rep(mol_bn_new),
-                   *globalize_pro(pro_inputs))
+    ev_args = (put_rep(eval_params), gmols, put_rep(mol_bn_new)) + \
+        globalize_pro(pro_inputs)
+    ev_c = fwd_e.lower(*ev_args).compile()
+    _barrier("pair_eval_compiled")
+    pred_e = ev_c(*ev_args)
     return (float(loss), np.asarray(pred),
             [np.asarray(x) for x in jax.tree_util.tree_leaves(grads)],
             np.asarray(pm), np.asarray(pv), np.asarray(pred_e))
@@ -178,9 +210,20 @@ def main() -> None:
     pid = jax.process_index()
     mesh = global_mesh(("graph",))
 
-    cfg, params, bn0, stacked_mols, pros = build_problem()
-    pro_inputs = shard_pros(pros)
-    drop, slope = make_noise(cfg, pro_inputs)
+    # build the problem COMMITTED to the local device: uncommitted jax
+    # computations in multiprocess mode land on the global device set
+    # and can never be materialized back to numpy (the make_noise /
+    # put_rep np.asarray calls would raise "spans non-addressable
+    # devices")
+    with jax.default_device(jax.local_devices()[0]):
+        cfg, params, bn0, stacked_mols, pros = build_problem()
+        pro_inputs = shard_pros(pros)
+        drop, slope = make_noise(cfg, pro_inputs)
+        mol_rngs = np.asarray(jax.random.split(jax.random.PRNGKey(9),
+                                               B))
+        params = jax.tree_util.tree_map(np.asarray, params)
+        bn0 = jax.tree_util.tree_map(np.asarray, bn0)
+        stacked_mols = jax.tree_util.tree_map(np.asarray, stacked_mols)
 
     def to_global(arr):
         """[B, D, ...] host array -> global array sharded on axis 1."""
@@ -198,11 +241,19 @@ def main() -> None:
     rep = NamedSharding(mesh, P())
 
     def put_rep(tree):
-        return jax.device_put(tree, rep)
+        """Replicated global arrays WITHOUT the device_put multihost
+        rendezvous (its assert_equal allgather deadline-times-out when
+        the two workers reach it >30s apart on this 2-core host):
+        every process contributes the full (identical) array."""
+        def one(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(rep, x,
+                                                          x.shape)
+        return jax.tree_util.tree_map(one, tree)
 
     loss, pred, grads, pm, pv, pred_e = run_case(
         mesh, cfg, params, bn0, stacked_mols, pro_inputs, drop, slope,
-        globalize_pro, put_rep)
+        globalize_pro, put_rep, mol_rngs)
 
     if pid == 0:
         np.savez(out_path, loss=loss, pred=pred, pm=pm, pv=pv,

@@ -230,9 +230,10 @@ def test_two_process_batched_bn_pair_matches_single_process(tmp_path):
             tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
             else jnp.asarray(a) for a in inputs)
 
+    mol_rngs = np.asarray(jax.random.split(jax.random.PRNGKey(9), 2))
     loss, pred, grads, pm, pv, pred_e = run_case(
         mesh, cfg, params, bn0, stacked_mols, pro_inputs, drop, slope,
-        globalize_pro, lambda t: t)
+        globalize_pro, lambda t: t, mol_rngs)
     np.testing.assert_allclose(float(got["loss"]), loss, rtol=1e-5,
                                atol=1e-7)
     np.testing.assert_allclose(got["pred"], pred, rtol=1e-5, atol=1e-6)

@@ -1276,3 +1276,38 @@ class TestBatchNormPairBatched:
         """2 real pairs + 1 weight-0 repeat: joint statistics equal the
         dense packed batch of the 2 REAL pairs only."""
         self._check(n_real=2)
+
+
+def test_overlap_reorder_value_identical(monkeypatch):
+    """GLAM_SHARDED_OVERLAP=0 (eager fusion emission) and the default
+    deferred schedule compute the SAME function: outputs bit-equal,
+    gradients equal to float-fusion tolerance (the emission order
+    changes which ops XLA fuses, so last-ulp rounding differs in a few
+    gradient leaves; docs/overlap_validation.md)."""
+    from glam_tpu.parallel.sharded_model import (
+        extract_pair_params, make_sharded_pair_forward)
+    mol, pro = _pair_setup(seed=4)
+    cfg = _pair_cfg(240)
+    model, g1, g2, variables = _pair_batches_and_model(mol, pro, cfg)
+    params = extract_pair_params(variables["params"], "_GCNConv",
+                                 "GlobalLAPool")
+    mesh = make_mesh(jax.devices()[:D], ("graph",))
+    inputs = tuple(jnp.asarray(a) for a in shard_inputs(*pro, D))
+
+    def run():
+        fwd = make_sharded_pair_forward(mesh, cfg)
+
+        def loss(p):
+            return fwd(p, g1, *inputs)[0] ** 2
+
+        val, grads = jax.value_and_grad(loss)(params)
+        return np.asarray(val), [np.asarray(x) for x in
+                                 jax.tree_util.tree_leaves(grads)]
+
+    monkeypatch.setenv("GLAM_SHARDED_OVERLAP", "1")
+    v1, g1s = run()
+    monkeypatch.setenv("GLAM_SHARDED_OVERLAP", "0")
+    v0, g0s = run()
+    assert np.array_equal(v1, v0)
+    for a, b in zip(g1s, g0s):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
