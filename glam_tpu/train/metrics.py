@@ -103,33 +103,49 @@ def regression_metrics(y_true, y_pred) -> Dict:
 
 
 def bedroc_score(y_true, y_score, decreasing=True, alpha=20.0) -> float:
-    y_true = np.asarray(y_true)
-    y_score = np.asarray(y_score)
-    big_n = len(y_true)
-    n = (y_true == 1).sum()
-    order = np.argsort(-y_score if decreasing else y_score)
-    m_rank = np.nonzero(y_true[order] == 1)[0] + 1
-    s = np.sum(np.exp(-alpha * m_rank / big_n))
-    r_a = n / big_n
-    rand_sum = r_a * (1 - np.exp(-alpha)) / (np.exp(alpha / big_n) - 1)
-    fac = r_a * np.sinh(alpha / 2) / (
-        np.cosh(alpha / 2) - np.cosh(alpha / 2 - alpha * r_a))
-    cte = 1 / (1 - np.exp(alpha * (1 - r_a)))
-    return float(s * fac / rand_sum + cte)
+    """Boltzmann-enhanced discrimination of ROC (Truchon & Bayly 2007,
+    eq. 36) — the early-recognition screening metric of the reference
+    (src_1gp/metrics.py:91-110; both implementations trace to the same
+    published formula via scikit-chem).  Structure here: the RIE
+    (exponentially rank-weighted hit sum over its uniform-ranking
+    expectation) mapped onto [0, 1] with the saturation bounds."""
+    labels = np.asarray(y_true).reshape(-1)
+    scores = np.asarray(y_score).reshape(-1)
+    total = labels.size
+    # tie behavior is parity-load-bearing: argsort of the negated
+    # scores keeps ascending input order within tied scores
+    ranking = np.argsort(-scores if decreasing else scores)
+    hit_ranks = 1 + np.flatnonzero(labels[ranking] == 1)
+    ratio = hit_ranks.size / total
+    weighted = np.exp(-alpha * hit_ranks / total).sum()
+    expected = (ratio * (1 - np.exp(-alpha))
+                / (np.exp(alpha / total) - 1))
+    rie = weighted / expected
+    half = alpha / 2.0
+    onto_01 = ratio * np.sinh(half) / (np.cosh(half)
+                                       - np.cosh(half - alpha * ratio))
+    lower = 1.0 / (1 - np.exp(alpha * (1 - ratio)))
+    return float(rie * onto_01 + lower)
 
 
 def enrichment_factor_single(y_true, y_score, threshold=0.005) -> float:
-    labels = np.asarray(y_true)
-    scores = np.asarray(y_score)
-    keep = np.argwhere(labels != -1)[:, 0]
-    labels, scores = labels[keep], scores[keep]
-    subset = int(labels.shape[0] * threshold)
-    idx = np.argsort(scores, axis=0)[::-1][:subset]
-    n_actives = np.nansum(labels)
-    n_hit = np.nansum(labels[idx])
-    if n_actives <= 0:
+    """EF@threshold: fraction of all actives recovered in the top
+    ``threshold`` slice of the ranked list, over the random baseline
+    (reference src_1gp/metrics.py:113-131, minus its ``GLAM_size``
+    rename bug; NaN labels propagate through nansum like the
+    reference's)."""
+    labels = np.asarray(y_true).reshape(-1)
+    scores = np.asarray(y_score).reshape(-1)
+    valid = labels != -1
+    labels, scores = labels[valid], scores[valid]
+    top = int(labels.size * threshold)
+    # parity tie behavior: ascending argsort reversed (NOT argsort of
+    # the negation) — tied scores pick the LATER input rows first
+    picked = np.argsort(scores)[::-1][:top]
+    total_actives = np.nansum(labels)
+    if total_actives <= 0:
         raise ValueError("n actives == 0")
-    return float(n_hit) / float(n_actives) / threshold
+    return float(np.nansum(labels[picked]) / total_actives / threshold)
 
 
 def screening_metrics(y_true, y_score, y_pred=None, threshold=0.5) -> Dict:

@@ -367,3 +367,48 @@ def test_train_stats_logging(tmp_path, monkeypatch):
     log = (trainer.log_save_dir / "log.txt").read_text()
     assert "train stats:" in log
     assert "prefetch stall" in log
+
+
+class TestScreeningFormulas:
+    """Direct numerical pins for the screening formulas (the e2e CLI
+    tests exercise them only through the pipeline)."""
+
+    def test_bedroc_truchon_bayly_oracle(self):
+        # independent evaluation of Truchon & Bayly eq. 36 (RIE form)
+        import numpy as np
+        from glam_tpu.train.metrics import bedroc_score
+        rng = np.random.RandomState(0)
+        y = (rng.rand(400) < 0.1).astype(int)
+        s = rng.rand(400) + 0.5 * y
+        alpha, N, n = 20.0, 400, int(y.sum())
+        order = np.argsort(-s)
+        ranks = np.flatnonzero(y[order] == 1) + 1.0
+        rie = (np.exp(-alpha * ranks / N).mean() * N
+               * (np.exp(alpha / N) - 1.0) / (1.0 - np.exp(-alpha)))
+        Ra = n / N
+        want = (rie * Ra * np.sinh(alpha / 2)
+                / (np.cosh(alpha / 2) - np.cosh(alpha / 2 - alpha * Ra))
+                + 1.0 / (1.0 - np.exp(alpha * (1.0 - Ra))))
+        assert abs(bedroc_score(y, s) - want) < 1e-10
+
+    def test_bedroc_bounds(self):
+        import numpy as np
+        from glam_tpu.train.metrics import bedroc_score
+        y = np.r_[np.ones(10), np.zeros(190)]
+        s = -np.arange(200, dtype=float)  # perfect ranking
+        assert bedroc_score(y, s) > 0.999
+        assert bedroc_score(y, -s) < 0.01  # worst ranking
+
+    def test_enrichment_factor(self):
+        import numpy as np
+        from glam_tpu.train.metrics import enrichment_factor_single
+        y = np.r_[np.ones(5), np.zeros(95)]
+        s = -np.arange(100, dtype=float)  # all actives in the top 5
+        # EF@5%: top-5 window holds all 5 actives -> 5/5 / 0.05 = 20
+        assert enrichment_factor_single(y, s, 0.05) == 20.0
+        # EF@20%: window of 20 still holds 5/5 -> 1/0.2 = 5
+        assert enrichment_factor_single(y, s, 0.20) == 5.0
+        # -1 labels are excluded from ranking and totals
+        y2 = np.r_[y, -np.ones(20)]
+        s2 = np.r_[s, np.full(20, 99.0)]
+        assert enrichment_factor_single(y2, s2, 0.05) == 20.0
