@@ -75,7 +75,8 @@ class Predictor:
         model = Architecture(cfg)
         # materialize the param structure, then restore bytes into it
         dummy = _dummy_batch(cfg)
-        variables = model.init(jax.random.PRNGKey(0), dummy, True)
+        variables = jax.jit(lambda r, d: model.init(r, d, True))(
+            jax.random.PRNGKey(0), dummy)
         params = serialization.from_bytes(variables["params"],
                                           payload["params"])
         stats = serialization.from_bytes(
@@ -239,7 +240,8 @@ class PairPredictor:
             b2 = next(iter(GraphLoader([g2], 1, 1)))
         else:
             b2 = b1
-        variables = model.init(jax.random.PRNGKey(0), b1, b2, True)
+        variables = jax.jit(lambda r, a, b: model.init(r, a, b, True))(
+            jax.random.PRNGKey(0), b1, b2)
         params = serialization.from_bytes(variables["params"],
                                           payload["params"])
         stats = {}

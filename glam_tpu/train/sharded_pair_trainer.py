@@ -142,9 +142,10 @@ class ShardedPairTrainer:
         # ---- params / optimizer / jitted steps ----------------------
         seed = int(args.get("seed", 1234))
         m0, p0, _ = self._sample(dataset.train[0])
-        variables = self.model.init(jax.random.PRNGKey(seed), m0,
-                                    self._dummy_pro_batch(
-                                        dataset.train[0][1]), True)
+        variables = jax.jit(
+            lambda r, a, b: self.model.init(r, a, b, True))(
+            jax.random.PRNGKey(seed), m0,
+            self._dummy_pro_batch(dataset.train[0][1]))
         self._flax_params = variables["params"]
         self.params = extract_pair_params(
             variables["params"], cfg.pro_block, cfg.pro_readout,

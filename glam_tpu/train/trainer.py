@@ -223,9 +223,12 @@ class Trainer:
         parts = self._as_parts(sample)
         if self.n_devices > 1:  # loaders yield device-stacked batches
             parts = jax.tree_util.tree_map(lambda a: a[0], parts)
-        return self.model.init(
-            {"params": rng, "dropout": jax.random.PRNGKey(1)},
-            *parts, True)
+        # jit the init: unjitted, flax runs the whole forward eagerly —
+        # measured ~150 one-op XLA compiles (~10s) per trial process.
+        # One jitted program traces once and lands in the persistent
+        # compilation cache, so AutoML trials/CLI runs pay ~1s instead.
+        return jax.jit(lambda r, *p: self.model.init(r, *p, True))(
+            {"params": rng, "dropout": jax.random.PRNGKey(1)}, *parts)
 
     # ------------------------------------------------------------------
     @staticmethod

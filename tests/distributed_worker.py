@@ -23,6 +23,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
+# share the suite's persistent XLA cache (tests/conftest.py): worker
+# compiles are the slow part of the 2-process tests; warm reruns load
+# the cached executables instead (GLAM_TEST_XLA_CACHE=off opts out).
+_cache = os.environ.get("GLAM_TEST_XLA_CACHE",
+                        os.path.expanduser("~/.cache/glam_tpu/xla-tests"))
+if _cache.lower() not in ("off", "0", "none", ""):
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
