@@ -247,7 +247,10 @@ class TestDDISolverE2E:
                  work_dir=str(tmp_path), low_fidelity_epochs=1,
                  high_fidelity_epochs=1, platform="cpu", env=env)
         s.low_fidelity_training()
-        s.high_fidelity_training()
+        # refine only the top config: one subprocess trial exercises the
+        # whole high-fidelity path; blending still selects 2 checkpoints
+        # from the pooled (low+high fidelity) runs
+        s.high_fidelity_training(top_n=1)
         result = s.blend_and_inference()
         assert result is not None and "auc" in result
         assert np.isfinite(result["auc"])

@@ -65,6 +65,22 @@ class TestPredictor:
                                    p.predict_scores(smis), rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def ddi_ckpt_run(tmp_path_factory):
+    """One plain DDI checkpoint shared by the (read-only) pair-serving
+    tests; the corrupt-payload test trains its own (it mutates the
+    checkpoint file)."""
+    import glam_tpu.run as r
+    base = tmp_path_factory.mktemp("ddi_serve")
+    trainer = r.main(["--dataset", "drugbank_caster",
+                      "--dataset_root", "datasets/ddi_demo",
+                      "--epochs", "1", "--batch_size", "32",
+                      "--e_dim", "16", "--hid_dim_alpha", "2",
+                      "--message_steps", "1",
+                      "--work_dir", str(base)])
+    return trainer
+
+
 class TestPairPredictor:
     def test_dti_from_sharded_checkpoint(self, tmp_path):
         """PairPredictor serves a --pro_shards-trained DTI checkpoint:
@@ -98,15 +114,9 @@ class TestPairPredictor:
         np.testing.assert_allclose(scores[0], want, rtol=1e-4,
                                    atol=1e-4)
 
-    def test_ddi_pairs(self, tmp_path):
+    def test_ddi_pairs(self, ddi_ckpt_run):
         """DDI (homo) checkpoint serves (SMILES, SMILES) pairs."""
-        import glam_tpu.run as r
-        trainer = r.main(["--dataset", "drugbank_caster",
-                          "--dataset_root", "datasets/ddi_demo",
-                          "--epochs", "1", "--batch_size", "32",
-                          "--e_dim", "16", "--hid_dim_alpha", "2",
-                          "--message_steps", "1",
-                          "--work_dir", str(tmp_path)])
+        trainer = ddi_ckpt_run
         from glam_tpu.serve import PairPredictor
         pred = PairPredictor.from_checkpoint(trainer.log_save_dir)
         assert not pred.hetero
@@ -122,7 +132,7 @@ class TestPairPredictor:
             pytest.skip("needs multi-device mesh")
         trainer = r.main(["--dataset", "bindingdb_c",
                           "--dataset_root", "datasets/dti_demo",
-                          "--epochs", "2", "--e_dim", "16",
+                          "--epochs", "1", "--e_dim", "16",
                           "--hid_dim_alpha", "2", "--message_steps", "1",
                           "--pro_shards", "4",
                           "--graph_norm", "_BatchNorm",
@@ -177,18 +187,12 @@ class TestPairPredictor:
         pred = PairPredictor.from_checkpoint(trainer.log_save_dir)
         assert pred.batch_stats == {}
 
-    def test_batched_predictions_equal_single_pair(self, tmp_path):
+    def test_batched_predictions_equal_single_pair(self, ddi_ckpt_run):
         """Packed batched inference rows == one-pair-at-a-time
         predictions (VERDICT round-4 item 8), with sticky budgets
         keeping one executable across calls."""
-        import glam_tpu.run as r
         from glam_tpu.serve import PairPredictor
-        trainer = r.main(["--dataset", "drugbank_caster",
-                          "--dataset_root", "datasets/ddi_demo",
-                          "--epochs", "1", "--batch_size", "32",
-                          "--e_dim", "16", "--hid_dim_alpha", "2",
-                          "--message_steps", "1",
-                          "--work_dir", str(tmp_path)])
+        trainer = ddi_ckpt_run
         pairs = [("CCO", "c1ccncc1"), ("CCN", "CCO"),
                  ("not_a_smiles", "CCO"), ("c1ccccc1", "CC(=O)O"),
                  ("CCOC", "c1ccncc1")]
